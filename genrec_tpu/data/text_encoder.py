@@ -1,0 +1,83 @@
+"""Item-text encoders producing the dense embeddings the RQ-VAE quantizes.
+
+Parity target: the reference embeds item metadata text with
+``SentenceTransformer`` (``/root/reference/genrec/data/amazon.py:195-211``;
+encoder zoo in ``genrec/modules/encoder.py``). This environment has no network
+egress, so the default is a deterministic offline encoder
+(:class:`HashedTextEncoder`, feature-hashed n-grams + fixed random projection)
+and :class:`SentenceTransformerEncoder` is used only when a local model path
+exists.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Sequence
+
+import numpy as np
+
+from genrec_tpu.configlib import gin
+
+
+class HashedTextEncoder:
+    """Deterministic offline text encoder.
+
+    Feature-hashes word uni/bi-grams into a sparse bucket vector, then applies
+    a fixed Gaussian random projection to ``dim`` and L2-normalizes — a
+    classic random-feature sentence embedding. Similar texts (shared n-grams)
+    map to nearby vectors, which is the property RQ-VAE training needs.
+    """
+
+    def __init__(self, dim: int = 768, n_buckets: int = 1 << 15,
+                 seed: int = 0):
+        self.dim = dim
+        self.n_buckets = n_buckets
+        rng = np.random.default_rng(seed)
+        self._proj = rng.standard_normal((n_buckets, dim)).astype(np.float32)
+        self._proj /= np.sqrt(dim)
+
+    def _bucket(self, token: str) -> int:
+        h = hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest()
+        return int.from_bytes(h, "little") % self.n_buckets
+
+    def encode(self, texts: Sequence[str] | str,
+               batch_size: int = 0) -> np.ndarray:
+        single = isinstance(texts, str)
+        if single:
+            texts = [texts]
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, text in enumerate(texts):
+            words = text.lower().split()
+            grams = words + [a + "_" + b for a, b in zip(words, words[1:])]
+            for g in grams:
+                out[i] += self._proj[self._bucket(g)]
+        norms = np.linalg.norm(out, axis=-1, keepdims=True)
+        return out / np.maximum(norms, 1e-12)
+
+
+class SentenceTransformerEncoder:
+    """Wrapper over sentence-transformers; requires a locally cached model."""
+
+    def __init__(self, model_name_or_path: str, device: str = "cpu"):
+        from sentence_transformers import SentenceTransformer
+        self._model = SentenceTransformer(model_name_or_path, device=device)
+        self.dim = self._model.get_sentence_embedding_dimension()
+
+    def encode(self, texts, batch_size: int = 64) -> np.ndarray:
+        return np.asarray(self._model.encode(
+            list(texts) if not isinstance(texts, str) else [texts],
+            batch_size=batch_size or 64, show_progress_bar=False),
+            dtype=np.float32)
+
+
+@gin.configurable
+def make_text_encoder(encoder_model_name: str = "hashed", dim: int = 768):
+    """Build a text encoder; falls back to hashed when the model is absent."""
+    if encoder_model_name in ("hashed", "", None):
+        return HashedTextEncoder(dim=dim)
+    if os.path.exists(encoder_model_name) or os.path.isdir(
+            os.path.expanduser(encoder_model_name)):
+        return SentenceTransformerEncoder(encoder_model_name)
+    # HF hub identifier with no egress → deterministic fallback
+    return HashedTextEncoder(dim=dim)

@@ -1,0 +1,280 @@
+"""T5-style transformer encoder-decoder (Flax), used by TIGER.
+
+Parity target: ``/root/reference/genrec/modules/transformer.py``:
+``_relative_position_bucket`` (:13-41), ``T5Attention`` (:44-159, fused kv
+projection for self-attention, per-(head, bucket) scalar relative bias,
+no bias on cross-attention), ``FeedForward`` (:162-189, dense-relu-dense,
+bias-free), ``TransformerBlock`` (:256-324, pre-norm, optional cross-attn),
+``TransformerEncoder``/``Decoder``/``TransformerEncoderDecoder`` (:327-476,
+auto causal target mask). Each block owns its own relative-bias table, as in
+the reference (not shared across layers like HF T5).
+
+TPU-first notes: attention scores and softmax accumulate in float32 with
+``preferred_element_type`` so the MXU runs bf16 inputs at full throughput;
+masks are boolean (``True`` = masked) turned into additive ``-1e9``/``-inf``
+inside; the relative-bias gather over a static (q_len, k_len) grid constant-
+folds under jit.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .normalize import RMSNorm
+
+NEG_INF = -1e9
+
+
+def relative_position_bucket(relative_positions: jnp.ndarray,
+                             num_buckets: int = 32,
+                             max_distance: int = 128,
+                             bidirectional: bool = True) -> jnp.ndarray:
+    """Map signed relative positions (mem - ctx) to log-spaced bucket ids."""
+    ret = -relative_positions
+    if bidirectional:
+        num_buckets //= 2
+        sign = (ret < 0).astype(jnp.int32)
+        ret = jnp.abs(ret)
+    else:
+        sign = None
+        ret = jnp.maximum(ret, 0)
+
+    max_exact = num_buckets // 2
+    is_small = ret < max_exact
+    term = (jnp.log(ret.astype(jnp.float32) / max_exact + 1e-6)
+            / math.log(max_distance / max_exact)
+            * (num_buckets - max_exact)).astype(jnp.int32)
+    large = max_exact + jnp.minimum(term, num_buckets - max_exact - 1)
+    ret = jnp.where(is_small, ret, large)
+    if bidirectional:
+        ret = ret + sign * num_buckets
+    return ret
+
+
+class T5Attention(nn.Module):
+    d_model: int
+    n_heads: int
+    dropout: float = 0.0
+    is_cross_attention: bool = False
+    has_relative_bias: bool = True
+    num_relative_buckets: int = 32
+    max_distance: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    def _rel_bias(self, q_len: int, k_len: int) -> jnp.ndarray:
+        """(1, H, q_len, k_len) additive bias from a per-(head,bucket) scalar."""
+        table = self.param(
+            "rel_bias", nn.initializers.normal(stddev=1.0),
+            (self.n_heads * self.num_relative_buckets, 1))
+        ctx = jnp.arange(q_len)[:, None]
+        mem = jnp.arange(k_len)[None, :]
+        buckets = relative_position_bucket(
+            mem - ctx, self.num_relative_buckets, self.max_distance,
+            bidirectional=True)                                  # (q, k)
+        head_offset = (jnp.arange(self.n_heads)
+                       * self.num_relative_buckets)[:, None, None]
+        idx = buckets[None] + head_offset                        # (H, q, k)
+        bias = jnp.take(table[:, 0], idx, axis=0)                # (H, q, k)
+        return bias[None].astype(jnp.float32)
+
+    @nn.compact
+    def __call__(self, query: jnp.ndarray,
+                 key: Optional[jnp.ndarray] = None,
+                 value: Optional[jnp.ndarray] = None,
+                 attn_mask: Optional[jnp.ndarray] = None,
+                 key_padding_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        assert self.d_model % self.n_heads == 0, (
+            f"d_model={self.d_model} not divisible by n_heads={self.n_heads}")
+        head_dim = self.d_model // self.n_heads
+        dense = lambda feats, nm: nn.Dense(feats, use_bias=False,
+                                           dtype=self.dtype, name=nm)
+        if self.is_cross_attention:
+            k = dense(self.d_model, "k")(key)
+            v = dense(self.d_model, "v")(value)
+        else:
+            kv = dense(2 * self.d_model, "kv")(query)
+            k, v = jnp.split(kv, 2, axis=-1)
+        q = dense(self.d_model, "q")(query)
+
+        def split_heads(x):
+            b, l, _ = x.shape
+            return x.reshape(b, l, self.n_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = map(split_heads, (q, k, v))
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / math.sqrt(head_dim))
+
+        if self.has_relative_bias and not self.is_cross_attention:
+            scores = scores + self._rel_bias(q.shape[2], k.shape[2])
+        if key_padding_mask is not None:  # (B, k_len), True = pad
+            scores = jnp.where(key_padding_mask[:, None, None, :],
+                               NEG_INF, scores)
+        if attn_mask is not None:         # additive float mask
+            if attn_mask.ndim == 2:
+                attn_mask = attn_mask[None, None]
+            elif attn_mask.ndim == 3:
+                attn_mask = attn_mask[:, None]
+            scores = scores + attn_mask
+
+        attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        b = out.shape[0]
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.d_model)
+        return dense(self.d_model, "o")(out)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    hidden_dim: int = 2048
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
+                     name="wi")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                        name="wo")(x)
+
+
+class TransformerBlock(nn.Module):
+    dim: int
+    num_heads: int
+    dropout: float = 0.1
+    ff_hidden_dim: int = 2048
+    cross_attn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, context=None, attn_mask=None,
+                 key_padding_mask=None, memory_key_padding_mask=None,
+                 deterministic: bool = True):
+        drop = nn.Dropout(self.dropout)
+        attn_out = T5Attention(
+            self.dim, self.num_heads, self.dropout, dtype=self.dtype,
+            name="self_attn")(
+                RMSNorm(self.dim, name="norm1")(x),
+                attn_mask=attn_mask, key_padding_mask=key_padding_mask,
+                deterministic=deterministic)
+        x = x + drop(attn_out, deterministic=deterministic)
+
+        if self.cross_attn and context is not None:
+            cross_out = T5Attention(
+                self.dim, self.num_heads, self.dropout,
+                is_cross_attention=True, has_relative_bias=False,
+                dtype=self.dtype, name="cross_attn_layer")(
+                    RMSNorm(self.dim, name="norm_cross")(x),
+                    key=context, value=context,
+                    key_padding_mask=memory_key_padding_mask,
+                    deterministic=deterministic)
+            x = x + drop(cross_out, deterministic=deterministic)
+
+        ff_out = FeedForward(self.dim, self.ff_hidden_dim, self.dropout,
+                             dtype=self.dtype, name="ff")(
+            RMSNorm(self.dim, name="norm2")(x), deterministic=deterministic)
+        return x + drop(ff_out, deterministic=deterministic)
+
+
+def causal_mask(length: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(T, T) additive causal mask: 0 on/below diagonal, -inf above."""
+    return jnp.triu(jnp.full((length, length), NEG_INF, dtype=dtype), k=1)
+
+
+class TransformerEncoder(nn.Module):
+    dim: int
+    depth: int
+    num_heads: int
+    dropout: float = 0.1
+    ff_hidden_dim: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, *, attn_mask=None, key_padding_mask=None,
+                 deterministic: bool = True):
+        for i in range(self.depth):
+            src = TransformerBlock(
+                self.dim, self.num_heads, self.dropout,
+                ff_hidden_dim=self.ff_hidden_dim, cross_attn=False,
+                dtype=self.dtype, name=f"layer_{i}")(
+                    src, attn_mask=attn_mask,
+                    key_padding_mask=key_padding_mask,
+                    deterministic=deterministic)
+        return src
+
+
+class TransformerDecoder(nn.Module):
+    dim: int
+    depth: int
+    num_heads: int
+    dropout: float = 0.1
+    ff_hidden_dim: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, *, memory, attn_mask=None, key_padding_mask=None,
+                 memory_key_padding_mask=None, deterministic: bool = True):
+        for i in range(self.depth):
+            tgt = TransformerBlock(
+                self.dim, self.num_heads, self.dropout,
+                ff_hidden_dim=self.ff_hidden_dim, cross_attn=True,
+                dtype=self.dtype, name=f"layer_{i}")(
+                    tgt, context=memory, attn_mask=attn_mask,
+                    key_padding_mask=key_padding_mask,
+                    memory_key_padding_mask=memory_key_padding_mask,
+                    deterministic=deterministic)
+        return tgt
+
+
+class TransformerEncoderDecoder(nn.Module):
+    d_model: int
+    nhead: int
+    num_encoder_layers: int
+    num_decoder_layers: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = TransformerEncoder(
+            self.d_model, self.num_encoder_layers, self.nhead, self.dropout,
+            ff_hidden_dim=self.dim_feedforward, dtype=self.dtype)
+        self.decoder = TransformerDecoder(
+            self.d_model, self.num_decoder_layers, self.nhead, self.dropout,
+            ff_hidden_dim=self.dim_feedforward, dtype=self.dtype)
+
+    def encode(self, src, *, src_mask=None, src_key_padding_mask=None,
+               deterministic: bool = True):
+        return self.encoder(src, attn_mask=src_mask,
+                            key_padding_mask=src_key_padding_mask,
+                            deterministic=deterministic)
+
+    def decode(self, tgt, memory, *, tgt_mask=None, tgt_key_padding_mask=None,
+               memory_key_padding_mask=None, deterministic: bool = True):
+        if tgt_mask is None:
+            tgt_mask = causal_mask(tgt.shape[1])
+        return self.decoder(tgt, memory=memory, attn_mask=tgt_mask,
+                            key_padding_mask=tgt_key_padding_mask,
+                            memory_key_padding_mask=memory_key_padding_mask,
+                            deterministic=deterministic)
+
+    def __call__(self, src, tgt, *, src_key_padding_mask=None,
+                 tgt_key_padding_mask=None, memory_key_padding_mask=None,
+                 src_mask=None, tgt_mask=None, deterministic: bool = True):
+        memory = self.encode(src, src_mask=src_mask,
+                             src_key_padding_mask=src_key_padding_mask,
+                             deterministic=deterministic)
+        return self.decode(tgt, memory, tgt_mask=tgt_mask,
+                           tgt_key_padding_mask=tgt_key_padding_mask,
+                           memory_key_padding_mask=memory_key_padding_mask,
+                           deterministic=deterministic)

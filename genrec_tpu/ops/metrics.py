@@ -1,0 +1,92 @@
+"""Recall@K / NDCG@K metrics.
+
+Parity target: ``/root/reference/genrec/modules/metrics.py``
+(``TopKAccumulator.accumulate`` :26-66, ``.reduce`` :68-74): exact-tuple match
+of (B, D) targets against (B, K, D) beams, rank of first match, DCG = 1 /
+log2(rank + 2), IDCG = 1.
+
+TPU-first redesign: the per-batch device work is a pure function
+(:func:`topk_metric_sums`) returning metric *sums* so it can run inside a jit
+step and be reduced across devices with ``psum`` — the reference instead
+accumulates Python floats per batch on the host. The host-side
+:class:`TopKAccumulator` keeps the reference's stateful API for trainers.
+Rows may be excluded (padding in fixed-shape eval batches) via ``valid``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def topk_match_ranks(actual: jnp.ndarray, top_k: jnp.ndarray) -> jnp.ndarray:
+    """Rank (0-indexed) of the first exact-tuple match, or K if absent.
+
+    Args:
+      actual: (B, D) ground-truth id tuples (D=1 for raw item ids).
+      top_k:  (B, K, D) ranked predictions.
+    Returns:
+      (B,) int32 ranks in [0, K].
+    """
+    K = top_k.shape[1]
+    matches = jnp.all(actual[:, None, :] == top_k, axis=-1)  # (B, K)
+    found = jnp.any(matches, axis=1)
+    first = jnp.argmax(matches, axis=1).astype(jnp.int32)
+    return jnp.where(found, first, jnp.int32(K))
+
+
+def topk_metric_sums(actual: jnp.ndarray, top_k: jnp.ndarray,
+                     ks: Sequence[int],
+                     valid: jnp.ndarray | None = None) -> Dict[str, jnp.ndarray]:
+    """Per-batch metric sums (not means): psum/accumulate these, divide once."""
+    ranks = topk_match_ranks(actual, top_k)
+    if valid is None:
+        valid = jnp.ones(ranks.shape, dtype=jnp.float32)
+    else:
+        valid = valid.astype(jnp.float32)
+    out: Dict[str, jnp.ndarray] = {"count": jnp.sum(valid)}
+    dcg = 1.0 / jnp.log2(ranks.astype(jnp.float32) + 2.0)
+    for k in ks:
+        hit = (ranks < k).astype(jnp.float32) * valid
+        out[f"recall_sum@{k}"] = jnp.sum(hit)
+        out[f"ndcg_sum@{k}"] = jnp.sum(hit * dcg)
+    return out
+
+
+class TopKAccumulator:
+    """Streaming accumulator with the reference's accumulate/reduce API."""
+
+    def __init__(self, ks: Sequence[int] = (1, 5, 10)):
+        self.ks = tuple(ks)
+        self.reset()
+
+    def reset(self) -> None:
+        self.total = 0.0
+        self.recalls = {k: 0.0 for k in self.ks}
+        self.ndcgs = {k: 0.0 for k in self.ks}
+
+    def accumulate(self, actual, top_k, valid=None) -> None:
+        sums = topk_metric_sums(jnp.asarray(actual), jnp.asarray(top_k),
+                                self.ks, valid)
+        sums = {k: float(np.asarray(v)) for k, v in sums.items()}
+        self.total += sums["count"]
+        for k in self.ks:
+            self.recalls[k] += sums[f"recall_sum@{k}"]
+            self.ndcgs[k] += sums[f"ndcg_sum@{k}"]
+
+    def update_sums(self, sums: Dict[str, float]) -> None:
+        """Accumulate pre-computed (possibly psum-reduced) metric sums."""
+        self.total += float(sums["count"])
+        for k in self.ks:
+            self.recalls[k] += float(sums[f"recall_sum@{k}"])
+            self.ndcgs[k] += float(sums[f"ndcg_sum@{k}"])
+
+    def reduce(self) -> Dict[str, float]:
+        denom = self.total if self.total > 0 else 1.0
+        out: Dict[str, float] = {}
+        for k in self.ks:
+            out[f"Recall@{k}"] = self.recalls[k] / denom
+            out[f"NDCG@{k}"] = self.ndcgs[k] / denom
+        return out

@@ -1,0 +1,148 @@
+"""Unit tests for genrec_tpu.ops (losses, gumbel, kmeans, sinkhorn, metrics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genrec_tpu import ops
+
+
+def test_reconstruction_loss():
+    x = jnp.array([[1.0, 2.0], [0.0, 0.0]])
+    x_hat = jnp.array([[1.5, 2.0], [1.0, -1.0]])
+    out = ops.reconstruction_loss(x_hat, x)
+    np.testing.assert_allclose(out, [0.25, 2.0], rtol=1e-6)
+
+
+def test_categorical_reconstruction_loss_matches_manual_bce():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 10)).astype(np.float32)
+    x[:, -3:] = rng.integers(0, 2, size=(4, 3)).astype(np.float32)
+    x_hat = rng.normal(size=(4, 10)).astype(np.float32)
+    out = ops.categorical_reconstruction_loss(jnp.asarray(x_hat),
+                                              jnp.asarray(x), n_cat_feats=3)
+    dense = np.sum((x_hat[:, :-3] - x[:, :-3]) ** 2, axis=-1)
+    z, y = x_hat[:, -3:], x[:, -3:]
+    bce = np.sum(np.maximum(z, 0) - z * y + np.log1p(np.exp(-np.abs(z))),
+                 axis=-1)
+    np.testing.assert_allclose(out, dense + bce, rtol=1e-4)
+
+
+def test_quantize_loss_gradients_flow_correctly():
+    """emb term must only grad the codebook value, query term only the query."""
+    query = jnp.array([[1.0, 0.0]])
+    value = jnp.array([[0.0, 1.0]])
+
+    def loss_fn(q, v):
+        return jnp.sum(ops.quantize_loss(q, v, commitment_weight=0.25))
+
+    gq, gv = jax.grad(loss_fn, argnums=(0, 1))(query, value)
+    # d/dq of 0.25*||q - sg(v)||^2 = 0.5*(q - v)
+    np.testing.assert_allclose(gq, 0.5 * (query - value), rtol=1e-6)
+    # d/dv of ||sg(q) - v||^2 = -2*(q - v)
+    np.testing.assert_allclose(gv, -2.0 * (query - value), rtol=1e-6)
+
+
+def test_gumbel_softmax_sample_is_distribution():
+    key = jax.random.PRNGKey(0)
+    logits = jnp.zeros((8, 16))
+    s = ops.gumbel_softmax_sample(key, logits, temperature=0.05)
+    np.testing.assert_allclose(np.sum(np.asarray(s), axis=-1), 1.0, rtol=1e-5)
+    # low temperature should be nearly one-hot
+    assert float(jnp.max(s, axis=-1).mean()) > 0.6
+
+
+def test_kmeans_recovers_separated_clusters():
+    rng = np.random.default_rng(1)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+    x = np.concatenate([
+        c + 0.1 * rng.normal(size=(50, 2)) for c in centers]).astype(np.float32)
+    out = ops.kmeans(jax.random.PRNGKey(0), jnp.asarray(x), k=3)
+    got = np.sort(np.asarray(out.centroids), axis=0)
+    want = np.sort(centers, axis=0)
+    np.testing.assert_allclose(got, want, atol=0.2)
+    # assignments are consistent with nearest centroid
+    d = np.linalg.norm(x[:, None] - np.asarray(out.centroids)[None], axis=-1)
+    np.testing.assert_array_equal(np.asarray(out.assignment), d.argmin(1))
+
+
+def test_kmeans_is_jittable():
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(64, 4)),
+                    dtype=jnp.float32)
+    fn = jax.jit(lambda k, x: ops.kmeans(k, x, k=8, max_iters=10).centroids)
+    out = fn(jax.random.PRNGKey(0), x)
+    assert out.shape == (8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sinkhorn_satisfies_marginals():
+    rng = np.random.default_rng(3)
+    cost = jnp.asarray(rng.uniform(size=(32, 16)), dtype=jnp.float32)
+    row = jnp.full((32,), 1.0 / 32)
+    col = jnp.full((16,), 1.0 / 16)
+    plan = ops.sinkhorn_knopp(cost, row, col, eps=0.05, max_iter=100)
+    np.testing.assert_allclose(np.asarray(plan).sum(1), 1.0 / 32, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(plan).sum(0), 1.0 / 16, atol=1e-4)
+
+
+def test_sinkhorn_has_no_gradient():
+    cost = jnp.ones((4, 4))
+    row = jnp.full((4,), 0.25)
+    col = jnp.full((4,), 0.25)
+    g = jax.grad(lambda c: jnp.sum(ops.sinkhorn_knopp(c, row, col)))(cost)
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_topk_match_ranks():
+    actual = jnp.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]])
+    top_k = jnp.array([
+        [[1, 2, 3], [0, 0, 0]],   # rank 0
+        [[9, 9, 9], [4, 5, 6]],   # rank 1
+        [[0, 0, 0], [1, 1, 1]],   # no match -> K=2
+    ])
+    ranks = ops.topk_match_ranks(actual, top_k)
+    np.testing.assert_array_equal(np.asarray(ranks), [0, 1, 2])
+
+
+def test_topk_accumulator_matches_reference_semantics():
+    acc = ops.TopKAccumulator(ks=[1, 5, 10])
+    actual = jnp.array([[1, 2], [3, 4]])
+    top_k = jnp.stack([
+        jnp.concatenate([jnp.array([[1, 2]]), jnp.zeros((9, 2), jnp.int32)]),
+        jnp.concatenate([jnp.zeros((4, 2), jnp.int32), jnp.array([[3, 4]]),
+                         jnp.zeros((5, 2), jnp.int32)]),
+    ])  # row0 matches at rank 0, row1 at rank 4
+    acc.accumulate(actual, top_k)
+    m = acc.reduce()
+    assert m["Recall@1"] == pytest.approx(0.5)
+    assert m["Recall@5"] == pytest.approx(1.0)
+    assert m["Recall@10"] == pytest.approx(1.0)
+    assert m["NDCG@1"] == pytest.approx(0.5)
+    # NDCG@5 = (1/log2(2) + 1/log2(6)) / 2
+    assert m["NDCG@5"] == pytest.approx((1.0 + 1.0 / np.log2(6)) / 2)
+
+
+def test_topk_accumulator_valid_mask():
+    acc = ops.TopKAccumulator(ks=[1])
+    actual = jnp.array([[1], [2]])
+    top_k = jnp.array([[[1]], [[2]]])
+    acc.accumulate(actual, top_k, valid=jnp.array([True, False]))
+    m = acc.reduce()
+    assert acc.total == 1.0
+    assert m["Recall@1"] == pytest.approx(1.0)
+
+
+def test_topk_metric_sums_jittable_and_psum_ready():
+    fn = jax.jit(lambda a, t: ops.topk_metric_sums(a, t, ks=(1, 5)))
+    actual = jnp.ones((4, 3), jnp.int32)
+    top_k = jnp.ones((4, 7, 3), jnp.int32)
+    sums = fn(actual, top_k)
+    assert float(sums["count"]) == 4.0
+    assert float(sums["recall_sum@1"]) == 4.0
+
+
+def test_l2norm_zero_safe():
+    x = jnp.zeros((2, 3))
+    out = ops.l2norm(x)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
