@@ -1,0 +1,115 @@
+"""Generic training engine: one jit-compiled SPMD step, many models.
+
+Replaces the reference's per-trainer copies of the Accelerate loop
+(``accelerator.backward`` / ``clip_grad_norm_`` / ``opt.step`` /
+``sched.step`` — e.g. ``/root/reference/genrec/trainers/rqvae_trainer.py:
+214-281``) with a single compiled update: forward, grads, clip, optimizer and
+the (implicit, XLA-fused) cross-device gradient psum all live in one XLA
+program. Mixed precision is a model-level dtype choice (bf16 activations,
+fp32 params/optimizer), not an autocast context.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from genrec_tpu.parallel.mesh import (batch_sharding, replicated_sharding,
+                                      shard_batch)
+from .train_state import TrainState, apply_updates
+
+LossFn = Callable[..., Tuple[jax.Array, Dict[str, jax.Array]]]
+
+
+def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
+                    mesh, donate: bool = True):
+    """Build ``step(state, batch, rng) -> (state, metrics)`` jit-compiled over
+    ``mesh``. ``loss_fn(params, batch, rng)`` returns (scalar loss, metrics).
+    """
+    rep = replicated_sharding(mesh)
+
+    def step(state: TrainState, batch, rng):
+        def compute(params):
+            return loss_fn(params, batch, rng)
+        (loss, metrics), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        new_state = apply_updates(state, grads, tx)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   out_shardings=(rep, rep))
+
+
+def make_eval_step(metric_fn: Callable, mesh):
+    """jit a pure eval fn ``(params, batch) -> metric sums`` (psum-ready)."""
+    rep = replicated_sharding(mesh)
+    return jax.jit(metric_fn, out_shardings=rep)
+
+
+class StepTimer:
+    """Wall-clock examples/sec meter (skips the first, compile-laden step)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self._t0 = None
+        self._steps = 0
+        self._examples = 0
+
+    def tick(self, batch_examples: int):
+        if self._t0 is None:  # first tick starts the clock (post-compile)
+            self._t0 = time.perf_counter()
+            return
+        self._steps += 1
+        self._examples += batch_examples
+
+    @property
+    def examples_per_sec(self) -> float:
+        if self._t0 is None or self._steps == 0:
+            return 0.0
+        return self._examples / (time.perf_counter() - self._t0)
+
+    @property
+    def steps_per_sec(self) -> float:
+        if self._t0 is None or self._steps == 0:
+            return 0.0
+        return self._steps / (time.perf_counter() - self._t0)
+
+
+def device_metrics_to_host(metrics: Dict[str, jax.Array]) -> Dict[str, float]:
+    return {k: float(np.asarray(v)) for k, v in metrics.items()}
+
+
+class Engine:
+    """Thin orchestration wrapper shared by all trainers."""
+
+    def __init__(self, mesh, loss_fn: LossFn,
+                 tx: optax.GradientTransformation, params,
+                 rng: Optional[jax.Array] = None):
+        self.mesh = mesh
+        self.tx = tx
+        self.state = jax.device_put(TrainState.create(params, tx),
+                                    replicated_sharding(mesh))
+        self.train_step = make_train_step(loss_fn, tx, mesh)
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.timer = StepTimer()
+
+    def run_step(self, batch) -> Dict[str, jax.Array]:
+        self.rng, step_rng = jax.random.split(self.rng)
+        device_batch = shard_batch(batch, self.mesh)
+        self.state, metrics = self.train_step(self.state, device_batch,
+                                              step_rng)
+        return metrics
+
+    @property
+    def step(self) -> int:
+        return int(np.asarray(self.state.step))

@@ -1,0 +1,72 @@
+"""Host-side data loader: shuffling, fixed-shape batching, multi-host sharding.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` + HF Accelerate
+``split_batches`` semantics (``/root/reference/genrec/trainers/rqvae_trainer.py:
+102-118``): the *global* batch size is divided across processes, each host
+loads only its shard of every batch, and the incomplete final batch is padded
+(with ``valid=False`` rows) instead of dropped so jit sees one shape.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .batching import pad_batch_rows
+
+
+class Loader:
+    """Deterministic epoch-based loader over an in-memory sample list."""
+
+    def __init__(self, samples: Sequence, batch_size: int,
+                 batch_fn: Callable[[List], object], *,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = False,
+                 process_index: int = 0, process_count: int = 1):
+        if batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} not divisible by "
+                f"process_count {process_count}")
+        self.samples = list(samples)
+        self.global_batch_size = batch_size
+        self.local_batch_size = batch_size // process_count
+        self.batch_fn = batch_fn
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.samples)
+        if self.drop_last:
+            return n // self.global_batch_size
+        return (n + self.global_batch_size - 1) // self.global_batch_size
+
+    def __iter__(self) -> Iterator:
+        order = np.arange(len(self.samples))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(order)
+        self.epoch += 1
+        gbs, lbs = self.global_batch_size, self.local_batch_size
+        for start in range(0, len(order), gbs):
+            idx = order[start:start + gbs]
+            if len(idx) < gbs and self.drop_last:
+                break
+            # every host takes a strided slice of the *global* batch
+            local = idx[self.process_index::self.process_count][:lbs]
+            if len(local) == 0:
+                local = idx[:1]  # degenerate tail: keep shapes, mark invalid
+                batch = self.batch_fn([self.samples[i] for i in local])
+                batch = batch._replace(valid=np.zeros_like(batch.valid))
+            else:
+                batch = self.batch_fn([self.samples[i] for i in local])
+            yield pad_batch_rows(batch, lbs)
+
+
+def cycle(loader: Loader):
+    """Endless iterator (reference ``data/utils.py:7-13``)."""
+    while True:
+        yield from loader

@@ -1,0 +1,58 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference's only parallelism is HF-Accelerate DDP over NCCL
+(SURVEY.md §2.5; ``/root/reference/genrec/trainers/rqvae_trainer.py:102-106``).
+The TPU-native replacement: one ``jax.sharding.Mesh`` with a ``data`` axis
+(batch sharding; gradient psum fused by XLA through sharded autodiff) and a
+``model`` axis (embedding-table / output-head sharding for large catalogs).
+Collectives ride ICI within a slice and DCN across slices — XLA inserts them
+from the shardings; there are no user-visible process groups.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    With ``data=None`` the data axis absorbs all devices not used by
+    ``model``. A single-device mesh is valid and makes every sharding
+    annotation a no-op, so one code path serves 1 chip → full pod.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch pytree with batch-axis sharding."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: x if x is None else jax.device_put(np.asarray(x), sharding),
+        batch, is_leaf=lambda x: x is None)

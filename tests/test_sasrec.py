@@ -1,0 +1,94 @@
+"""SASRec model + end-to-end trainer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genrec_tpu.models.sasrec import SASRec, predict_topk
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = SASRec(num_items=50, max_seq_len=8, embed_dim=16, num_heads=2,
+                   num_blocks=2, ffn_dim=32, dropout=0.0)
+    ids = jnp.array([[0, 0, 1, 2, 3, 4, 5, 6]], jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids)["params"]
+    return model, params
+
+
+def test_forward_shapes_and_loss(small_model):
+    model, params = small_model
+    ids = jnp.array([[0, 0, 1, 2, 3, 4, 5, 6]], jnp.int32)
+    tgt = jnp.array([[0, 0, 2, 3, 4, 5, 6, 7]], jnp.int32)
+    out = model.apply({"params": params}, ids, targets=tgt)
+    assert out.logits.shape == (1, 8, 51)
+    assert out.loss.shape == ()
+    assert np.isfinite(float(out.loss))
+
+
+def test_padding_rows_do_not_affect_loss(small_model):
+    """Loss ignores pad targets (ignore_index=0 semantics)."""
+    model, params = small_model
+    ids = jnp.array([[0, 0, 1, 2, 3, 4, 5, 6]], jnp.int32)
+    tgt = jnp.array([[0, 0, 2, 3, 4, 5, 6, 7]], jnp.int32)
+    loss1 = model.apply({"params": params}, ids, targets=tgt).loss
+    # garbage in the padded positions of a *longer-padded* copy
+    ids2 = jnp.array([[0, 0, 1, 2, 3, 4, 5, 6]], jnp.int32)
+    tgt2 = tgt.at[0, 0].set(0).at[0, 1].set(0)
+    loss2 = model.apply({"params": params}, ids2, targets=tgt2).loss
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+
+
+def test_causality(small_model):
+    """Changing the last input must not change earlier logits."""
+    model, params = small_model
+    ids = jnp.array([[0, 1, 2, 3, 4, 5, 6, 7]], jnp.int32)
+    out1 = model.apply({"params": params}, ids)
+    out2 = model.apply({"params": params}, ids.at[0, -1].set(9))
+    np.testing.assert_allclose(np.asarray(out1.logits[0, :-1]),
+                               np.asarray(out2.logits[0, :-1]), atol=1e-4)
+
+
+def test_pad_embedding_is_zero(small_model):
+    model, params = small_model
+    # all-pad input → after blocks, x stays 0 except final norm bias effects;
+    # logits for pad input must be identical across different all-pad rows
+    ids = jnp.zeros((2, 8), jnp.int32)
+    out = model.apply({"params": params}, ids)
+    np.testing.assert_allclose(np.asarray(out.logits[0]),
+                               np.asarray(out.logits[1]), atol=1e-6)
+
+
+def test_predict_topk_excludes_pad():
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(4, 51)),
+                         dtype=jnp.float32)
+    logits = logits.at[:, 0].set(1e9)  # pad would win without masking
+    top = predict_topk(logits, 10)
+    assert (np.asarray(top) != 0).all()
+
+
+def test_end_to_end_training_learns(tmp_path):
+    """Tiny synthetic run: loss must drop and Recall@10 beat chance."""
+    from genrec_tpu.configlib import gin
+    from genrec_tpu.trainers.sasrec_trainer import train
+
+    gin.parse_config("""
+        train.dataset_type = "synthetic"
+        train.epochs = 2
+        train.batch_size = 64
+        train.max_seq_len = 20
+        train.embed_dim = 32
+        train.num_blocks = 1
+        train.ffn_dim = 64
+        train.dropout = 0.1
+        train.eval_batch_size = 128
+        train.wandb_logging = False
+        synthetic_corpus.n_items = 300
+        synthetic_corpus.n_users = 200
+        synthetic_corpus.n_clusters = 12
+    """)
+    gin.bind_parameter("train.save_dir_root", str(tmp_path))
+    metrics = train()
+    # chance Recall@10 = 10/300 ≈ 0.033; require clearly above
+    assert metrics["Recall@10"] > 0.06
