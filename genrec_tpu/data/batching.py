@@ -29,7 +29,7 @@ def sasrec_train_batch(samples: Sequence[Sample], max_seq_len: int,
     L = max_seq_len
     ids = np.zeros((B, L), np.int32)
     tgt = np.zeros((B, L), np.int32)
-    ts = np.zeros((B, L), np.int64) if with_time else None
+    ts = np.zeros((B, L), np.int32) if with_time else None
     uids = np.zeros((B,), np.int32)
     for r, s in enumerate(samples):
         seq = [i + 1 for i in s.history] + [s.target + 1]
@@ -53,7 +53,7 @@ def sasrec_eval_batch(samples: Sequence[Sample], max_seq_len: int,
     B = len(samples)
     L = max_seq_len
     ids = np.zeros((B, L), np.int32)
-    ts = np.zeros((B, L), np.int64) if with_time else None
+    ts = np.zeros((B, L), np.int32) if with_time else None
     tgt = np.zeros((B,), np.int32)
     uids = np.zeros((B,), np.int32)
     for r, s in enumerate(samples):

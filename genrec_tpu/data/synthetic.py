@@ -28,7 +28,11 @@ def make_catalog(n_items: int = 2000, emb_dim: int = 768,
                  n_clusters: int = 32, seed: int = 0) -> SyntheticCatalog:
     rng = np.random.default_rng(seed)
     centers = rng.standard_normal((n_clusters, emb_dim)).astype(np.float32)
-    clusters = rng.integers(0, n_clusters, size=n_items)
+    # cluster assignment from its own stream so it is invariant to emb_dim:
+    # the RQ-VAE catalog (768-d) and sequence corpora (any dim) must agree on
+    # which cluster each item belongs to.
+    clusters = np.random.default_rng((seed, 1)).integers(
+        0, n_clusters, size=n_items)
     emb = centers[clusters] + 0.3 * rng.standard_normal(
         (n_items, emb_dim)).astype(np.float32)
     emb /= np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)

@@ -1,0 +1,174 @@
+"""HSTU: hierarchical sequential transduction units (Flax).
+
+Parity target: ``/root/reference/genrec/models/hstu.py``: single fused
+projection → SiLU → split into U,V,Q,K (:232-235), scores = QKᵀ + T5-style
+log-bucket **relative position bias** shared across layers? (no — per-layer,
+:190-196) + optional **temporal bias** from log₂-bucketed timestamp deltas
+(:352-409: bucket = ⌊ln(max(1,|Δt|))/ln 2⌋ clamped), **SiLU instead of
+softmax** on scores (:261-263), LayerNorm then element-wise gating by U
+(:269-272), residual, FFN 4× SiLU (:209-215), final LayerNorm, logits = dot
+with the item-embedding table, CE ``ignore_index=0`` (:139-157).
+
+TPU-first notes: SiLU attention needs no row reduction (no softmax), so the
+whole score→weight→AV chain fuses into two MXU matmuls + a VPU elementwise —
+cheaper than softmax attention on TPU. Biases are gathers over static bucket
+grids that constant-fold under jit (position) or batch gathers (temporal).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from genrec_tpu.configlib import gin
+
+NEG_INF = -1e9
+
+
+class HSTUOutput(NamedTuple):
+    logits: jnp.ndarray
+    loss: Optional[jnp.ndarray]
+
+
+def _position_bucket(relative_position: jnp.ndarray, num_buckets: int,
+                     max_distance: int) -> jnp.ndarray:
+    """Causal log-bucketing (reference hstu.py:305-334)."""
+    rp = jnp.maximum(relative_position, 0)
+    max_exact = num_buckets // 2
+    is_small = rp < max_exact
+    large = max_exact + (
+        jnp.log(jnp.maximum(rp, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)).astype(jnp.int32)
+    large = jnp.clip(large, None, num_buckets - 1)
+    return jnp.where(is_small, rp, large)
+
+
+def _temporal_bucket(time_diff: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
+    """bucket = ⌊ln(max(1,|Δt|)) / ln 2⌋, clamped (reference hstu.py:368-384)."""
+    abs_diff = jnp.maximum(jnp.abs(time_diff), 1).astype(jnp.float32)
+    buckets = (jnp.log(abs_diff) / 0.693).astype(jnp.int32)
+    return jnp.clip(buckets, 0, num_buckets - 1)
+
+
+class HSTULayer(nn.Module):
+    embed_dim: int
+    num_heads: int
+    dropout: float
+    num_position_buckets: int
+    num_time_buckets: int
+    max_position_distance: int
+    use_temporal_bias: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, padding_mask, timestamps=None,
+                 deterministic: bool = True):
+        B, L, D = x.shape
+        H, Dh = self.num_heads, self.embed_dim // self.num_heads
+        residual = x
+
+        projected = nn.silu(nn.Dense(4 * D, dtype=self.dtype,
+                                     name="projection")(x))
+        u, v, q, k = jnp.split(projected, 4, axis=-1)
+        split = lambda t: t.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+        q, k, v = split(q), split(k), split(v)
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+
+        pos_table = self.param("position_bias",
+                               nn.initializers.normal(stddev=1.0),
+                               (self.num_position_buckets, H))
+        pos = jnp.arange(L)
+        buckets = _position_bucket(pos[:, None] - pos[None, :],
+                                   self.num_position_buckets,
+                                   self.max_position_distance)   # (L, L)
+        pos_bias = jnp.take(pos_table, buckets, axis=0)           # (L, L, H)
+        scores = scores + pos_bias.transpose(2, 0, 1)[None].astype(jnp.float32)
+
+        if self.use_temporal_bias and timestamps is not None:
+            time_table = self.param("temporal_bias",
+                                    nn.initializers.normal(stddev=1.0),
+                                    (self.num_time_buckets, H))
+            diff = timestamps[:, :, None] - timestamps[:, None, :]
+            tbuckets = _temporal_bucket(diff, self.num_time_buckets)
+            tbias = jnp.take(time_table, tbuckets, axis=0)        # (B,L,L,H)
+            scores = scores + tbias.transpose(0, 3, 1, 2).astype(jnp.float32)
+
+        causal = jnp.triu(jnp.ones((L, L), bool), k=1)
+        scores = jnp.where(causal[None, None], NEG_INF, scores)
+        scores = jnp.where(padding_mask[:, None, None, :], NEG_INF, scores)
+
+        attn = nn.silu(scores).astype(self.dtype)   # silu(-1e9) == 0: masked
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+
+        out = nn.LayerNorm(dtype=jnp.float32, name="attn_norm")(out)
+        out = (out * u).astype(self.dtype)
+        x = residual + nn.Dropout(self.dropout)(out,
+                                                deterministic=deterministic)
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="ffn_norm")(x).astype(
+            self.dtype)
+        h = nn.Dense(4 * D, dtype=self.dtype, name="ffn_in")(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(D, dtype=self.dtype, name="ffn_out")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return x + h
+
+
+@gin.configurable
+class HSTU(nn.Module):
+    num_items: int = 10000
+    max_seq_len: int = 50
+    embed_dim: int = 64
+    num_heads: int = 2
+    num_blocks: int = 2
+    dropout: float = 0.2
+    num_position_buckets: int = 32
+    num_time_buckets: int = 64
+    max_position_distance: int = 128
+    use_temporal_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, timestamps=None, targets=None,
+                 deterministic: bool = True) -> HSTUOutput:
+        item_emb = self.param(
+            "item_embedding", nn.initializers.truncated_normal(stddev=0.02),
+            (self.num_items + 1, self.embed_dim))
+        item_emb = item_emb.at[0].set(0.0)
+        padding_mask = input_ids == 0
+
+        x = jnp.take(item_emb, input_ids, axis=0).astype(self.dtype)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        for i in range(self.num_blocks):
+            x = HSTULayer(
+                embed_dim=self.embed_dim, num_heads=self.num_heads,
+                dropout=self.dropout,
+                num_position_buckets=self.num_position_buckets,
+                num_time_buckets=self.num_time_buckets,
+                max_position_distance=self.max_position_distance,
+                use_temporal_bias=self.use_temporal_bias,
+                dtype=self.dtype, name=f"layer_{i}")(
+                    x, padding_mask, timestamps, deterministic)
+        x = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x).astype(
+            self.dtype)
+
+        logits = jnp.einsum("bld,vd->blv", x, item_emb.astype(self.dtype),
+                            preferred_element_type=jnp.float32)
+        loss = None
+        if targets is not None:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            tgt_logp = jnp.take_along_axis(
+                logp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+            ignore = (targets != 0).astype(jnp.float32)
+            loss = -(tgt_logp * ignore).sum() / jnp.maximum(ignore.sum(), 1.0)
+        return HSTUOutput(logits=logits, loss=loss)

@@ -1,0 +1,158 @@
+"""HSTU trainer: same skeleton as SASRec + per-event timestamps.
+
+Parity target: ``/root/reference/genrec/trainers/hstu_trainer.py`` (:39-83
+eval with timestamps, :86-209 train loop with ``use_temporal_bias`` flag).
+
+Run: ``python -m genrec_tpu.trainers.hstu_trainer config/hstu/amazon.gin
+--split beauty``
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genrec_tpu.configlib import gin, parse_config
+from genrec_tpu.core import (CheckpointManager, Engine, MetricLogger,
+                             StepTimer, make_optimizer, make_schedule,
+                             setup_logger)
+from genrec_tpu.data import Loader, sasrec_eval_batch, sasrec_train_batch
+from genrec_tpu.models.hstu import HSTU
+from genrec_tpu.models.sasrec import predict_topk
+from genrec_tpu.ops import TopKAccumulator, topk_metric_sums
+from genrec_tpu.parallel import make_mesh, shard_batch
+from genrec_tpu.trainers.sasrec_trainer import _load_corpus
+
+EVAL_KS = (1, 5, 10)
+
+
+def evaluate(model, params, loader, mesh, eval_step) -> dict:
+    acc = TopKAccumulator(ks=EVAL_KS)
+    for batch in loader:
+        sums = eval_step(params, shard_batch(batch, mesh))
+        acc.update_sums({k: float(np.asarray(v)) for k, v in sums.items()})
+    return acc.reduce()
+
+
+@gin.configurable
+def train(epochs: int = 10, batch_size: int = 128,
+          learning_rate: float = 1e-3, weight_decay: float = 0.0,
+          max_seq_len: int = 50, embed_dim: int = 64, num_heads: int = 2,
+          num_blocks: int = 2, dropout: float = 0.2,
+          num_position_buckets: int = 32, num_time_buckets: int = 64,
+          max_position_distance: int = 128, use_temporal_bias: bool = True,
+          dataset_folder: str = "dataset/amazon", split: str = "beauty",
+          dataset_type: str = "amazon",
+          do_eval: bool = True, eval_every_epoch: int = 1,
+          eval_batch_size: int = 256,
+          save_dir_root: str = "out/hstu", save_every_epoch: int = 50,
+          wandb_logging: bool = False, wandb_project: str = "",
+          wandb_log_interval: int = 100,
+          amp: bool = True, mixed_precision_type: str = "bf16",
+          seed: int = 42, max_steps_per_epoch: int = 0, **unused) -> dict:
+    logger = setup_logger("hstu", save_dir_root)
+    mesh = make_mesh()
+
+    corpus = _load_corpus(dataset_type, dataset_folder, split)
+    num_items = corpus.num_items
+    logger.info("corpus: %d users, %d items", len(corpus.sequences), num_items)
+
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    train_loader = Loader(
+        corpus.generate_samples("train"), batch_size,
+        partial(sasrec_train_batch, max_seq_len=max_seq_len, with_time=True),
+        shuffle=True, seed=seed, process_index=pidx, process_count=pcnt)
+    mk_eval = lambda s: Loader(
+        corpus.generate_samples(s), eval_batch_size,
+        partial(sasrec_eval_batch, max_seq_len=max_seq_len, with_time=True),
+        shuffle=False, process_index=pidx, process_count=pcnt)
+    valid_loader, test_loader = mk_eval("valid"), mk_eval("test")
+
+    dtype = jnp.bfloat16 if (amp and mixed_precision_type == "bf16") \
+        else jnp.float32
+    model = HSTU(num_items=num_items, max_seq_len=max_seq_len,
+                 embed_dim=embed_dim, num_heads=num_heads,
+                 num_blocks=num_blocks, dropout=dropout,
+                 num_position_buckets=num_position_buckets,
+                 num_time_buckets=num_time_buckets,
+                 max_position_distance=max_position_distance,
+                 use_temporal_bias=use_temporal_bias, dtype=dtype)
+
+    rng = jax.random.PRNGKey(seed)
+    sample = next(iter(train_loader))
+    params = model.init({"params": rng}, jnp.asarray(sample.ids),
+                        timestamps=jnp.asarray(sample.x))["params"]
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    logger.info("model params: %.2fM", n_params / 1e6)
+
+    schedule = make_schedule(name="constant", learning_rate=learning_rate)
+    tx = make_optimizer(schedule, optimizer="adam", b1=0.9, b2=0.98,
+                        weight_decay=weight_decay, grad_clip_norm=None)
+
+    def loss_fn(params, batch, rng):
+        out = model.apply({"params": params}, batch.ids,
+                          timestamps=batch.x, targets=batch.ids_fut,
+                          deterministic=False, rngs={"dropout": rng})
+        return out.loss, {}
+
+    @jax.jit
+    def eval_step(params, batch):
+        out = model.apply({"params": params}, batch.ids,
+                          timestamps=batch.x, deterministic=True)
+        topk = predict_topk(out.logits[:, -1, :], max(EVAL_KS))
+        return topk_metric_sums(batch.ids_fut[:, None], topk[:, :, None],
+                                EVAL_KS, valid=batch.valid)
+
+    engine = Engine(mesh, loss_fn, tx, params, rng=rng)
+    mlogger = MetricLogger(save_dir_root, wandb_project, wandb_logging,
+                           enabled=pidx == 0)
+    ckpt = CheckpointManager(os.path.join(save_dir_root, "ckpt"))
+
+    best_recall10, best_params = -1.0, None
+    timer = StepTimer()
+    for epoch in range(epochs):
+        for i, batch in enumerate(train_loader):
+            if max_steps_per_epoch and i >= max_steps_per_epoch:
+                break
+            metrics = engine.run_step(batch)
+            timer.tick(batch.ids.shape[0])
+            if engine.step % wandb_log_interval == 0:
+                host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                host["examples_per_sec"] = timer.examples_per_sec
+                mlogger.log(host, engine.step)
+        logger.info("epoch %d: loss=%.4f (%.0f ex/s)", epoch,
+                    float(np.asarray(metrics["loss"])),
+                    timer.examples_per_sec)
+        if do_eval and (epoch + 1) % eval_every_epoch == 0:
+            m = evaluate(model, engine.state.params, valid_loader, mesh,
+                         eval_step)
+            mlogger.log(m, engine.step, section="eval")
+            logger.info("epoch %d valid: %s", epoch,
+                        {k: round(v, 4) for k, v in m.items()})
+            if m["Recall@10"] > best_recall10:
+                best_recall10 = m["Recall@10"]
+                best_params = jax.tree_util.tree_map(np.asarray,
+                                                     engine.state.params)
+        if (epoch + 1) % save_every_epoch == 0:
+            ckpt.save(engine.step, engine.state.params,
+                      config=gin.operative_config())
+
+    final_params = best_params if best_params is not None \
+        else engine.state.params
+    test_metrics = evaluate(model, final_params, test_loader, mesh, eval_step)
+    logger.info("test: %s", {k: round(v, 4) for k, v in test_metrics.items()})
+    mlogger.log(test_metrics, engine.step, section="test")
+    ckpt.save(engine.step + 1,
+              jax.tree_util.tree_map(np.asarray, final_params),
+              config=gin.operative_config())
+    mlogger.close()
+    return test_metrics
+
+
+if __name__ == "__main__":
+    parse_config()
+    train()

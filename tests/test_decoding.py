@@ -1,0 +1,151 @@
+"""Tests for the dense trie automaton and vectorized beam search."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genrec_tpu.decoding.trie import DEAD, ROOT, build_trie_tables
+from genrec_tpu.decoding.beam import beam_search
+
+
+def test_trie_tables_structure():
+    valid = np.array([[0, 1, 2], [0, 1, 3], [1, 0, 0]])
+    t = build_trie_tables(valid, num_tokens=4)
+    assert t.depth == 3 and t.num_tokens == 4
+    # root transitions
+    assert t.legal[ROOT, 0] and t.legal[ROOT, 1]
+    assert not t.legal[ROOT, 2] and not t.legal[ROOT, 3]
+    n01 = t.children[t.children[ROOT, 0], 1]
+    assert t.legal[t.children[ROOT, 0], 1]
+    # level-2 legal tokens under prefix (0,1): {2, 3}
+    assert t.legal[n01, 2] and t.legal[n01, 3]
+    assert not t.legal[n01, 0]
+    # completing a tuple lands in DEAD; DEAD has no legal moves
+    assert t.children[n01, 2] == DEAD
+    assert not t.legal[DEAD].any()
+    assert (t.children[DEAD] == DEAD).all()
+
+
+def test_trie_rejects_out_of_range():
+    with pytest.raises(ValueError):
+        build_trie_tables(np.array([[0, 9]]), num_tokens=4)
+
+
+def _static_decode_fn(logit_table):
+    """decode_fn from a dict: step -> (V,) logits (same for every beam)."""
+    def fn(prefix_ids, step):
+        BK = prefix_ids.shape[0]
+        return jnp.broadcast_to(jnp.asarray(logit_table[step])[None],
+                                (BK, len(logit_table[step])))
+    return fn
+
+
+def test_beam_search_matches_bruteforce_unconstrained():
+    rng = np.random.default_rng(0)
+    V, C, K = 6, 3, 4
+    table = {s: rng.normal(size=V).astype(np.float32) for s in range(C)}
+    out = beam_search(_static_decode_fn(table), batch_size=1, num_beams=K,
+                      depth=C, num_tokens=V, temperature=1.0)
+    # brute force: sequence score = sum of per-step log-softmax
+    logps = {s: np.log(np.exp(table[s]) / np.exp(table[s]).sum())
+             for s in range(C)}
+    all_seqs = list(itertools.product(range(V), repeat=C))
+    scored = sorted(all_seqs,
+                    key=lambda t: -sum(logps[s][t[s]] for s in range(C)))
+    got = [tuple(r) for r in np.asarray(out.sem_ids[0])]
+    assert got == [tuple(s) for s in scored[:K]]
+    want_scores = [sum(logps[s][t[s]] for s in range(C))
+                   for t in scored[:K]]
+    np.testing.assert_allclose(np.asarray(out.log_probas[0]), want_scores,
+                               rtol=1e-5)
+
+
+def test_beam_search_prefix_dependent_scores():
+    """Scores must propagate parent beam log-probs (context-dependent fn)."""
+    V, C, K = 4, 2, 3
+
+    def decode_fn(prefix_ids, step):
+        BK = prefix_ids.shape[0]
+        base = jnp.arange(V, dtype=jnp.float32)
+        if step == 0:
+            return jnp.broadcast_to(base[None], (BK, V))
+        # second step prefers token == first token (diagonal boost)
+        first = prefix_ids[:, 0]
+        return jax.nn.one_hot(first, V) * 5.0
+
+    out = beam_search(decode_fn, 1, K, C, V, temperature=1.0)
+    seqs = np.asarray(out.sem_ids[0])
+    # each kept beam should repeat its first token at step 2
+    assert all(s[0] == s[1] for s in seqs)
+    # best first tokens are 3, 2, 1
+    assert [s[0] for s in seqs] == [3, 2, 1]
+
+
+def test_beam_search_trie_constraint_only_emits_valid_tuples():
+    rng = np.random.default_rng(1)
+    V, C, K = 8, 3, 5
+    valid = np.unique(rng.integers(0, V, size=(12, C)), axis=0)
+    trie = build_trie_tables(valid, num_tokens=V)
+    table = {s: rng.normal(size=V).astype(np.float32) for s in range(C)}
+    out = beam_search(_static_decode_fn(table), 2, K, C, V,
+                      trie=trie, temperature=0.2)
+    valid_set = {tuple(v) for v in valid}
+    seqs = np.asarray(out.sem_ids)
+    logps = np.asarray(out.log_probas)
+    for b in range(2):
+        for k in range(K):
+            if logps[b, k] > -1e30:   # real (non-filler) beam
+                assert tuple(seqs[b, k]) in valid_set
+    # beams are distinct per batch row
+    for b in range(2):
+        real = [tuple(s) for s, lp in zip(seqs[b], logps[b]) if lp > -1e30]
+        assert len(real) == len(set(real))
+
+
+def test_beam_search_fewer_valid_than_beams():
+    """With fewer valid tuples than beams, fillers carry -inf-ish scores."""
+    V, C, K = 4, 2, 6
+    valid = np.array([[0, 1], [2, 3]])
+    trie = build_trie_tables(valid, num_tokens=V)
+    table = {0: np.zeros(V, np.float32), 1: np.zeros(V, np.float32)}
+    out = beam_search(_static_decode_fn(table), 1, K, C, V, trie=trie)
+    logps = np.asarray(out.log_probas[0])
+    real = [tuple(s) for s, lp in zip(np.asarray(out.sem_ids[0]), logps)
+            if lp > -1e30]
+    assert set(real) == {(0, 1), (2, 3)}
+
+
+def test_beam_search_sampling_mode_valid_and_distinct():
+    V, C, K = 16, 3, 4
+    rng = np.random.default_rng(3)
+    valid = np.unique(rng.integers(0, V, size=(40, C)), axis=0)
+    trie = build_trie_tables(valid, num_tokens=V)
+    table = {s: rng.normal(size=V).astype(np.float32) for s in range(C)}
+    out = beam_search(_static_decode_fn(table), 1, K, C, V, trie=trie,
+                      temperature=0.5, sample=True,
+                      rng=jax.random.PRNGKey(0))
+    valid_set = {tuple(v) for v in valid}
+    for s, lp in zip(np.asarray(out.sem_ids[0]),
+                     np.asarray(out.log_probas[0])):
+        if lp > -1e30:
+            assert tuple(s) in valid_set
+
+
+def test_beam_search_jit_compiles():
+    V, C, K = 8, 3, 4
+    valid = np.array([[i, (i + 1) % V, (i + 2) % V] for i in range(V)])
+    trie = build_trie_tables(valid, num_tokens=V)
+
+    @jax.jit
+    def run(logit0):
+        def fn(prefix_ids, step):
+            BK = prefix_ids.shape[0]
+            return jnp.broadcast_to(logit0[None], (BK, V))
+        return beam_search(fn, 2, K, C, V, trie_children=jnp.asarray(
+            trie.children), trie_legal=jnp.asarray(trie.legal))
+
+    out = run(jnp.arange(V, dtype=jnp.float32))
+    assert out.sem_ids.shape == (2, K, C)

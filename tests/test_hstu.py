@@ -1,0 +1,82 @@
+"""HSTU model tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genrec_tpu.models.hstu import HSTU, _position_bucket, _temporal_bucket
+
+
+@pytest.fixture(scope="module")
+def tiny_hstu():
+    model = HSTU(num_items=40, max_seq_len=8, embed_dim=16, num_heads=2,
+                 num_blocks=2, dropout=0.0, use_temporal_bias=True)
+    ids = jnp.array([[0, 0, 1, 2, 3, 4, 5, 6]], jnp.int32)
+    ts = jnp.array([[0, 0, 100, 200, 400, 800, 1600, 3200]], jnp.int64)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids,
+                        timestamps=ts)["params"]
+    return model, params, ids, ts
+
+
+def test_forward_shapes(tiny_hstu):
+    model, params, ids, ts = tiny_hstu
+    tgt = jnp.array([[0, 0, 2, 3, 4, 5, 6, 7]], jnp.int32)
+    out = model.apply({"params": params}, ids, timestamps=ts, targets=tgt)
+    assert out.logits.shape == (1, 8, 41)
+    assert np.isfinite(float(out.loss))
+
+
+def test_causality(tiny_hstu):
+    model, params, ids, ts = tiny_hstu
+    out1 = model.apply({"params": params}, ids, timestamps=ts)
+    out2 = model.apply({"params": params}, ids.at[0, -1].set(9),
+                       timestamps=ts)
+    np.testing.assert_allclose(np.asarray(out1.logits[0, :-1]),
+                               np.asarray(out2.logits[0, :-1]), atol=1e-4)
+
+
+def test_temporal_bias_changes_output(tiny_hstu):
+    model, params, ids, ts = tiny_hstu
+    out1 = model.apply({"params": params}, ids, timestamps=ts)
+    ts2 = ts * 1000  # much larger gaps -> different buckets
+    out2 = model.apply({"params": params}, ids, timestamps=ts2)
+    assert not np.allclose(np.asarray(out1.logits), np.asarray(out2.logits))
+
+
+def test_works_without_timestamps(tiny_hstu):
+    model, params, ids, _ = tiny_hstu
+    out = model.apply({"params": params}, ids)
+    assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def test_position_bucket_properties():
+    rp = jnp.arange(-5, 200)
+    b = np.asarray(_position_bucket(rp, num_buckets=32, max_distance=128))
+    assert (b[:5] == 0).all()          # negative clamped to 0
+    assert b.max() <= 31
+    # exact buckets for small distances
+    np.testing.assert_array_equal(b[5:5 + 16], np.arange(16))
+    # monotone non-decreasing for growing distance
+    assert (np.diff(b[5:]) >= 0).all()
+
+
+def test_temporal_bucket_log2():
+    diffs = jnp.array([0, 1, 2, 4, 8, 1024, -1024, 10**9])
+    b = np.asarray(_temporal_bucket(diffs, num_buckets=64))
+    assert b[0] == 0 and b[1] == 0
+    assert b[2] == 1 and b[3] == 2 and b[4] == 3
+    assert b[5] == 10 and b[6] == 10   # symmetric in |diff|
+    assert b[7] <= 63
+
+
+def test_silu_attention_masks_padding(tiny_hstu):
+    """Garbage in padded positions must not change valid outputs."""
+    model, params, ids, ts = tiny_hstu
+    out1 = model.apply({"params": params}, ids, timestamps=ts)
+    ids2 = ids.at[0, 0].set(0).at[0, 1].set(0)  # already 0, sanity
+    out2 = model.apply({"params": params}, ids2, timestamps=ts.at[0, 0].set(
+        999999))
+    # timestamps of padded positions influence only their own (ignored) rows
+    np.testing.assert_allclose(np.asarray(out1.logits[0, 2:]),
+                               np.asarray(out2.logits[0, 2:]), atol=1e-4)
