@@ -1,0 +1,110 @@
+"""Benchmark: RQVAE+TIGER training throughput (examples/sec/chip).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
+"vs_baseline": N}. The reference publishes no throughput numbers
+(BASELINE.md), so ``vs_baseline`` is reported against a fixed nominal target
+of 1000 TIGER-train examples/sec/chip at the paper config (d_model 384,
+8 layers, batch 256, 20-item histories, 3-level codes).
+
+Usage: python bench.py [--smoke] [--steps N] [--batch N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+NOMINAL_BASELINE_EXAMPLES_PER_SEC = 1000.0
+
+
+def bench_tiger(batch_size: int, steps: int, warmup: int, small: bool):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from genrec_tpu.core.train_state import TrainState, apply_updates
+    from genrec_tpu.models.tiger import Tiger
+
+    if small:
+        model = Tiger(embedding_dim=64, attn_dim=96, dropout=0.1,
+                      num_heads=4, n_layers=2, num_item_embeddings=64,
+                      num_user_embeddings=10000, sem_id_dim=3)
+    else:
+        # paper config: config/tiger/amazon/tiger.gin
+        model = Tiger(embedding_dim=128, attn_dim=384, dropout=0.1,
+                      num_heads=6, n_layers=8, num_item_embeddings=256,
+                      num_user_embeddings=10000, sem_id_dim=3)
+    L, C, K = 20, model.sem_id_dim, model.num_item_embeddings
+    rng = np.random.default_rng(0)
+    B = batch_size
+    batch = dict(
+        user_ids=jnp.asarray(rng.integers(0, 10000, B), jnp.int32),
+        sem_ids=jnp.asarray(rng.integers(0, K, (B, L * C)), jnp.int32),
+        token_type_ids=jnp.asarray(np.tile(np.arange(C), (B, L)), jnp.int32),
+        sem_ids_fut=jnp.asarray(rng.integers(0, K, (B, C)), jnp.int32),
+        token_type_ids_fut=jnp.asarray(np.tile(np.arange(C), (B, 1)),
+                                       jnp.int32),
+        seq_mask=jnp.ones((B, L * C), bool))
+
+    init_rng = jax.random.PRNGKey(0)
+    params = model.init({"params": init_rng}, **batch)["params"]
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
+    state = TrainState.create(params, tx)
+
+    @jax.jit
+    def step(state, batch, rng):
+        def loss_fn(p):
+            out = model.apply({"params": p}, **batch, deterministic=False,
+                              rngs={"dropout": rng})
+            return out.loss
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return apply_updates(state, grads, tx), loss
+
+    key = jax.random.PRNGKey(1)
+    for i in range(warmup):
+        key, k = jax.random.split(key)
+        state, loss = step(state, batch, k)
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        state, loss = step(state, batch, k)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    return B * steps / dt, float(np.asarray(loss))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true",
+                    help="small model + few steps (CPU-friendly validation)")
+    ap.add_argument("--steps", type=int, default=0)
+    ap.add_argument("--batch", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    n_chips = jax.device_count()
+    steps = args.steps or (5 if args.smoke else 30)
+    batch = args.batch or (32 if args.smoke else 256)
+    warmup = 2 if args.smoke else 5
+
+    eps, loss = bench_tiger(batch, steps, warmup, small=args.smoke)
+    eps_per_chip = eps / max(n_chips, 1)
+    print(json.dumps({
+        "metric": "tiger_train_examples_per_sec_per_chip",
+        "value": round(eps_per_chip, 2),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(eps_per_chip / NOMINAL_BASELINE_EXAMPLES_PER_SEC,
+                             4),
+    }))
+    print(f"# devices={n_chips} platform={jax.devices()[0].platform} "
+          f"batch={batch} steps={steps} final_loss={loss:.3f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -103,8 +103,7 @@ def configurable(fn: Callable | None = None, *, name: str | None = None,
         except (TypeError, ValueError):  # builtins
             sig = None
 
-        @functools.wraps(f)
-        def wrapper(*args, **kwargs):
+        def inject(args, kwargs):
             bound = get_bindings(short)
             if bound:
                 if sig is not None:
@@ -148,13 +147,33 @@ def configurable(fn: Callable | None = None, *, name: str | None = None,
                             and p.name not in covered):
                         raise GinError(
                             f"Required parameter {short}.{p.name} was not bound")
-            return f(*args, **kwargs)
+            return kwargs
 
-        wrapper.__gin_name__ = short
-        _register(short, wrapper)
+        if is_class:
+            # Patch __init__ in place: preserves classmethods, isinstance,
+            # and dataclass/flax-module semantics (a function wrapper would
+            # shadow class attributes — e.g. `Cls.load_pretrained` breaks).
+            orig_init = f.__init__
+
+            @functools.wraps(orig_init)
+            def init_with_gin(self, *args, **kwargs):
+                kwargs = inject(args, kwargs)
+                orig_init(self, *args, **kwargs)
+
+            f.__init__ = init_with_gin
+            registered = f
+        else:
+            @functools.wraps(f)
+            def wrapper(*args, **kwargs):
+                kwargs = inject(args, kwargs)
+                return f(*args, **kwargs)
+            registered = wrapper
+
+        registered.__gin_name__ = short
+        _register(short, registered)
         if mod:
-            _register(f"{mod}.{short}", wrapper)
-        return wrapper
+            _register(f"{mod}.{short}", registered)
+        return registered
 
     if fn is not None:
         return wrap(fn)

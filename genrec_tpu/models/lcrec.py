@@ -1,0 +1,261 @@
+"""LCRec: LLM fine-tuning with collaborative semantic-ID tokens.
+
+Parity target: ``/root/reference/genrec/models/lcrec.py`` — wraps a causal-LM
+backbone + tokenizer, adds ``codebook_size × num_codebooks`` special tokens
+``<Ci_j>`` and resizes embeddings (:48-60), SFT tokenization (prompt ids +
+response ids + EOS, with the prompt length recorded for label masking,
+:62-112), forward = causal-LM loss (:114-133), ``generate_topk`` = batched
+beam search with per-level allowed-token filtering (:164-243), and
+HF-`save_pretrained`-style persistence (:135-162).
+
+Backbone substitution: the reference loads Qwen2.5-1.5B from the HF hub; this
+environment has no downloads, so the backbone is the in-repo TPU-native
+:class:`genrec_tpu.models.llm.CausalLM` plus a deterministic hashed word
+tokenizer. The ``<Ci_j>`` tokens occupy a contiguous id range per level, so
+the constrained decode is a logits slice per level — the reference's
+``prefix_allowed_tokens_fn`` Python callback (trainers/lcrec_trainer.py:
+87-128) becomes part of the compiled beam search.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genrec_tpu.configlib import gin
+from .llm import CausalLM, resize_token_embeddings
+
+
+class WordTokenizer:
+    """Deterministic hashed word-level tokenizer with special-token support.
+
+    Layout: [0]=pad, [1]=bos, [2]=eos, [3]=unk, [4, base_vocab) hashed words,
+    [base_vocab, base_vocab + n_special) added special tokens (``<Ci_j>``).
+    """
+
+    PAD, BOS, EOS, UNK = 0, 1, 2, 3
+    _WORD_RE = re.compile(r"<[^<>\s]+>|\w+|[^\w\s]")
+
+    def __init__(self, base_vocab: int = 30000):
+        self.base_vocab = base_vocab
+        self.special: Dict[str, int] = {}
+        self._special_rev: Dict[int, str] = {}
+        self._seen: Dict[int, str] = {}
+        self.eos_token_id = self.EOS
+        self.pad_token_id = self.PAD
+
+    def __len__(self):
+        return self.base_vocab + len(self.special)
+
+    def add_special_tokens(self, tokens: List[str]) -> int:
+        added = 0
+        for t in tokens:
+            if t not in self.special:
+                tid = self.base_vocab + len(self.special)
+                self.special[t] = tid
+                self._special_rev[tid] = t
+                added += 1
+        return added
+
+    def _word_id(self, word: str) -> int:
+        from genrec_tpu.data.sequences import hash_user_id
+        return 4 + hash_user_id(word.lower(), self.base_vocab - 4)
+
+    def encode(self, text: str, add_eos: bool = False) -> List[int]:
+        ids = []
+        for tok in self._WORD_RE.findall(text):
+            if tok in self.special:
+                ids.append(self.special[tok])
+            else:
+                tid = self._word_id(tok)
+                self._seen[tid] = tok
+                ids.append(tid)
+        if add_eos:
+            ids.append(self.EOS)
+        return ids
+
+    def decode(self, ids) -> str:
+        out = []
+        for i in np.asarray(ids).reshape(-1).tolist():
+            if i in self._special_rev:
+                out.append(self._special_rev[i])
+            elif i == self.EOS:
+                break
+            elif i in (self.PAD, self.BOS):
+                continue
+            else:
+                out.append(self._seen.get(i, "<unk>"))
+        return " ".join(out)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump({"base_vocab": self.base_vocab,
+                       "special": self.special}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "WordTokenizer":
+        with open(path) as f:
+            d = json.load(f)
+        tok = cls(base_vocab=d["base_vocab"])
+        for t in sorted(d["special"], key=d["special"].get):
+            tok.add_special_tokens([t])
+        return tok
+
+
+class LCRecGenerationOutput(NamedTuple):
+    sem_ids: jnp.ndarray    # (B, K, C)
+    log_probas: jnp.ndarray  # (B, K)
+
+
+SEM_ID_PATTERN = re.compile(r"<C(\d+)_(\d+)>")
+
+
+@gin.configurable
+class LCRec:
+    """Causal-LM + tokenizer wrapper with codebook-token surgery."""
+
+    def __init__(self, d_model: int = 512, n_layers: int = 8,
+                 n_heads: int = 8, n_kv_heads: int = 4, ff_dim: int = 1408,
+                 base_vocab: int = 30000, max_len: int = 512,
+                 num_codebooks: int = 0, codebook_size: int = 0,
+                 dtype=jnp.float32):
+        self.tokenizer = WordTokenizer(base_vocab=base_vocab)
+        self.num_codebooks = num_codebooks
+        self.codebook_size = codebook_size
+        if num_codebooks and codebook_size:
+            self.add_codebook_tokens(num_codebooks, codebook_size)
+        self.model = CausalLM(
+            vocab_size=len(self.tokenizer), d_model=d_model,
+            n_layers=n_layers, n_heads=n_heads, n_kv_heads=n_kv_heads,
+            ff_dim=ff_dim, max_len=max_len, dtype=dtype)
+        self._config = dict(d_model=d_model, n_layers=n_layers,
+                            n_heads=n_heads, n_kv_heads=n_kv_heads,
+                            ff_dim=ff_dim, base_vocab=base_vocab,
+                            max_len=max_len, num_codebooks=num_codebooks,
+                            codebook_size=codebook_size)
+
+    def add_codebook_tokens(self, num_codebooks: int,
+                            codebook_size: int) -> None:
+        """Register ``<Ci_j>`` tokens; ids are contiguous per level."""
+        self.num_codebooks = num_codebooks
+        self.codebook_size = codebook_size
+        self.tokenizer.add_special_tokens(
+            [f"<C{i}_{j}>" for i in range(num_codebooks)
+             for j in range(codebook_size)])
+
+    def level_token_range(self, level: int) -> tuple[int, int]:
+        start = self.tokenizer.special[f"<C{level}_0>"]
+        return start, start + self.codebook_size
+
+    def init_params(self, rng: jax.Array):
+        dummy = jnp.ones((1, 8), jnp.int32)
+        return self.model.init({"params": rng}, dummy)["params"]
+
+    def sem_ids_to_text(self, codes) -> str:
+        return "".join(f"<C{i}_{int(c)}>" for i, c in enumerate(codes))
+
+    def tokenize_sft(self, prompt: str, response: str = "") -> dict:
+        prompt_ids = self.tokenizer.encode(prompt)
+        response_ids = self.tokenizer.encode(response)
+        input_ids = prompt_ids + response_ids + [self.tokenizer.EOS]
+        return {"input_ids": input_ids,
+                "prompt_seq_length": len(prompt_ids)}
+
+    def apply(self, params, input_ids, attention_mask=None, labels=None):
+        return self.model.apply({"params": params}, input_ids,
+                                attention_mask=attention_mask, labels=labels)
+
+    # -- constrained generation -------------------------------------------
+    def make_generate_topk(self, num_beams: int = 10):
+        """jit-compiled constrained beam decode of C codebook tokens.
+
+        The reference re-runs one HF forward per beam per step with a host
+        callback filtering logits (lcrec.py:164-243); here each level's
+        constraint is a static slice of the vocab and the whole search is
+        one compiled program.
+        """
+        C, K = self.num_codebooks, num_beams
+        ranges = [self.level_token_range(c) for c in range(C)]
+        model = self.model
+
+        @jax.jit
+        def generate(params, input_ids, attention_mask):
+            B, L = input_ids.shape
+            ids = jnp.repeat(input_ids, K, axis=0)       # (B*K, L)
+            mask = jnp.repeat(attention_mask, K, axis=0)
+            beam_tokens = jnp.zeros((B, K, C), jnp.int32)
+            beam_logps = jnp.zeros((B, K), jnp.float32)
+
+            for c in range(C):
+                out = model.apply({"params": params}, ids,
+                                  attention_mask=mask)
+                last = out.logits[:, -1, :]               # (B*K, V)
+                lo, hi = ranges[c]
+                level_logits = last[:, lo:hi]
+                logp = jax.nn.log_softmax(level_logits, axis=-1)
+                logp = logp.reshape(B, K, -1)
+                if c == 0:
+                    # all beams identical: expand from beam 0 only
+                    scores, tok = jax.lax.top_k(logp[:, 0, :], K)  # (B, K)
+                    parent = jnp.zeros((B, K), jnp.int32)
+                else:
+                    total = beam_logps[:, :, None] + logp
+                    flat = total.reshape(B, -1)
+                    scores, idx = jax.lax.top_k(flat, K)
+                    parent = idx // self.codebook_size
+                    tok = idx % self.codebook_size
+                batch_ix = jnp.arange(B)[:, None]
+                beam_tokens = beam_tokens[batch_ix, parent]
+                beam_tokens = beam_tokens.at[:, :, c].set(tok)
+                beam_logps = scores
+                # append chosen tokens to every beam's sequence
+                ids = ids.reshape(B, K, -1)[batch_ix, parent].reshape(
+                    B * K, -1)
+                new_tok = (tok + lo).reshape(B * K, 1)
+                ids = jnp.concatenate([ids, new_tok], axis=1)
+                mask = jnp.concatenate(
+                    [mask.reshape(B, K, -1)[batch_ix, parent].reshape(
+                        B * K, -1),
+                     jnp.ones((B * K, 1), mask.dtype)], axis=1)
+            return LCRecGenerationOutput(sem_ids=beam_tokens,
+                                         log_probas=beam_logps)
+
+        return generate
+
+    # -- persistence -------------------------------------------------------
+    def save_pretrained(self, save_dir: str, params) -> None:
+        import orbax.checkpoint as ocp
+        os.makedirs(save_dir, exist_ok=True)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(os.path.abspath(save_dir), "params"),
+                   jax.tree_util.tree_map(np.asarray, params), force=True)
+        ckptr.wait_until_finished()
+        self.tokenizer.save(os.path.join(save_dir, "tokenizer.json"))
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            json.dump(self._config, f, indent=2)
+
+    @classmethod
+    def load_pretrained(cls, save_dir: str):
+        import orbax.checkpoint as ocp
+        with open(os.path.join(save_dir, "config.json")) as f:
+            cfg = json.load(f)
+        inst = cls(**cfg)
+        inst.tokenizer = WordTokenizer.load(
+            os.path.join(save_dir, "tokenizer.json"))
+        ckptr = ocp.StandardCheckpointer()
+        params = ckptr.restore(
+            os.path.join(os.path.abspath(save_dir), "params"))
+        return inst, params
+
+    @staticmethod
+    def extract_sem_ids(text: str, num_codebooks: int) -> Optional[List[int]]:
+        matches = SEM_ID_PATTERN.findall(text)
+        if len(matches) < num_codebooks:
+            return None
+        return [int(matches[i][1]) for i in range(num_codebooks)]

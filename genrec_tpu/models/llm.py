@@ -1,0 +1,166 @@
+"""Decoder-only causal LM backbone (Qwen2-style) for LCRec/NoteLLM (Flax).
+
+The reference wraps HF ``AutoModelForCausalLM`` with Qwen2.5-1.5B weights
+(``/root/reference/genrec/models/lcrec.py:17-60``). This environment has no
+model downloads, so LCRec here runs on an in-repo TPU-native backbone with the
+same architecture family: RMSNorm pre-norm, rotary position embeddings,
+grouped-query attention, SwiGLU MLP, optional weight tying — randomly
+initialized by default, with an embedding-resize hook for the ``<Ci_j>``
+token surgery (reference lcrec.py:48-60).
+
+TPU-first notes: fixed max_len causal mask, fp32 softmax, bf16-able matmuls;
+generation re-runs the forward on the growing (static-padded) prefix, which
+is fine at SFT-eval scale; flash/KV-cache paths are a later optimization.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from genrec_tpu.configlib import gin
+
+
+def rope(x: jnp.ndarray, positions: jnp.ndarray,
+         base: float = 10000.0) -> jnp.ndarray:
+    """Rotary embedding over the last dim of (B, H, L, Dh)."""
+    Dh = x.shape[-1]
+    half = Dh // 2
+    freqs = 1.0 / (base ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions[:, None, :, None].astype(jnp.float32) * \
+        freqs[None, None, None, :]                       # (B, 1, L, half)
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = x[..., :half], x[..., half:]
+    rx1 = x1 * cos - x2 * sin
+    rx2 = x2 * cos + x1 * sin
+    return jnp.concatenate([rx1, rx2], axis=-1).astype(x.dtype)
+
+
+class LlmBlock(nn.Module):
+    d_model: int
+    n_heads: int
+    n_kv_heads: int
+    ff_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, positions, attn_bias):
+        from genrec_tpu.nn.normalize import RMSNorm
+        B, L, D = x.shape
+        H, KV = self.n_heads, self.n_kv_heads
+        Dh = D // H
+        h = RMSNorm(D, name="attn_norm")(x)
+        q = nn.Dense(H * Dh, use_bias=True, dtype=self.dtype, name="q")(h)
+        k = nn.Dense(KV * Dh, use_bias=True, dtype=self.dtype, name="k")(h)
+        v = nn.Dense(KV * Dh, use_bias=True, dtype=self.dtype, name="v")(h)
+        q = q.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, L, KV, Dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, KV, Dh).transpose(0, 2, 1, 3)
+        q = rope(q, positions)
+        k = rope(k, positions)
+        if KV != H:
+            rep = H // KV
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * (Dh ** -0.5)
+        scores = scores + attn_bias
+        attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        x = x + nn.Dense(D, use_bias=False, dtype=self.dtype, name="o")(out)
+
+        h = RMSNorm(D, name="mlp_norm")(x)
+        gate = nn.Dense(self.ff_dim, use_bias=False, dtype=self.dtype,
+                        name="gate")(h)
+        up = nn.Dense(self.ff_dim, use_bias=False, dtype=self.dtype,
+                      name="up")(h)
+        down = nn.Dense(D, use_bias=False, dtype=self.dtype,
+                        name="down")(nn.silu(gate) * up)
+        return x + down
+
+
+class CausalLMOutput(NamedTuple):
+    logits: jnp.ndarray
+    loss: Optional[jnp.ndarray]
+
+
+@gin.configurable
+class CausalLM(nn.Module):
+    """Small Qwen2-family causal LM. ``labels == -100`` are ignored
+    (HF convention, reference lcrec_trainer.py:43-84 prompt masking)."""
+    vocab_size: int = 32000
+    d_model: int = 512
+    n_layers: int = 8
+    n_heads: int = 8
+    n_kv_heads: int = 4
+    ff_dim: int = 1408
+    max_len: int = 1024
+    tie_embeddings: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray,
+                 attention_mask: Optional[jnp.ndarray] = None,
+                 labels: Optional[jnp.ndarray] = None) -> CausalLMOutput:
+        from genrec_tpu.nn.normalize import RMSNorm
+        B, L = input_ids.shape
+        embed = self.param("wte", nn.initializers.normal(stddev=0.02),
+                           (self.vocab_size, self.d_model))
+        x = jnp.take(embed, input_ids, axis=0).astype(self.dtype)
+
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, L), jnp.int32)
+        # left-padding aware positions: first real token gets position 0
+        positions = jnp.cumsum(attention_mask, axis=1) - 1
+        positions = jnp.maximum(positions, 0)
+
+        causal = jnp.triu(jnp.full((L, L), -1e9, jnp.float32), k=1)
+        pad_bias = jnp.where(attention_mask[:, None, None, :] == 0,
+                             -1e9, 0.0).astype(jnp.float32)
+        bias = causal[None, None] + pad_bias
+
+        for i in range(self.n_layers):
+            x = LlmBlock(self.d_model, self.n_heads, self.n_kv_heads,
+                         self.ff_dim, dtype=self.dtype,
+                         name=f"layer_{i}")(x, positions, bias)
+        x = RMSNorm(self.d_model, name="final_norm")(x)
+        if self.tie_embeddings:
+            logits = jnp.einsum("bld,vd->blv", x, embed.astype(self.dtype),
+                                preferred_element_type=jnp.float32)
+        else:
+            logits = nn.Dense(self.vocab_size, use_bias=False,
+                              dtype=self.dtype, name="lm_head")(x)
+        logits = logits.astype(jnp.float32)
+
+        loss = None
+        if labels is not None:
+            shift_logits = logits[:, :-1]
+            shift_labels = labels[:, 1:]
+            keep = shift_labels != -100
+            safe = jnp.where(keep, shift_labels, 0)
+            logp = jax.nn.log_softmax(shift_logits, axis=-1)
+            tl = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            loss = -(tl * keep).sum() / jnp.maximum(keep.sum(), 1)
+        return CausalLMOutput(logits=logits, loss=loss)
+
+
+def resize_token_embeddings(params: dict, new_vocab: int,
+                            rng: jax.Array) -> dict:
+    """Grow the embedding table (the ``<Ci_j>`` surgery; ref lcrec.py:48-60)."""
+    import flax
+    p = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else dict(
+        params)
+    wte = p["wte"]
+    old_vocab, d = wte.shape
+    if new_vocab <= old_vocab:
+        return params
+    extra = jax.random.normal(rng, (new_vocab - old_vocab, d),
+                              dtype=wte.dtype) * 0.02
+    p = dict(p)
+    p["wte"] = jnp.concatenate([wte, extra], axis=0)
+    return p

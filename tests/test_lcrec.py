@@ -1,0 +1,143 @@
+"""LCRec (tokenizer, LLM backbone, constrained generation, tasks) tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genrec_tpu.models.lcrec import LCRec, WordTokenizer
+from genrec_tpu.models.llm import CausalLM, resize_token_embeddings
+
+
+def test_word_tokenizer_roundtrip_special_tokens():
+    tok = WordTokenizer(base_vocab=1000)
+    tok.add_special_tokens(["<C0_1>", "<C1_7>"])
+    ids = tok.encode("predict next <C0_1><C1_7> done")
+    assert tok.special["<C0_1>"] in ids
+    assert tok.special["<C1_7>"] in ids
+    text = tok.decode(ids)
+    assert "<C0_1>" in text and "<C1_7>" in text
+    # deterministic across instances
+    tok2 = WordTokenizer(base_vocab=1000)
+    assert tok2.encode("predict next") == ids[:2]
+
+
+def test_tokenizer_save_load(tmp_path):
+    tok = WordTokenizer(base_vocab=500)
+    tok.add_special_tokens(["<C0_0>", "<C0_1>"])
+    tok.save(str(tmp_path / "tok.json"))
+    tok2 = WordTokenizer.load(str(tmp_path / "tok.json"))
+    assert tok2.special == tok.special
+    assert len(tok2) == len(tok)
+
+
+def test_causal_lm_loss_and_label_masking():
+    model = CausalLM(vocab_size=50, d_model=32, n_layers=1, n_heads=4,
+                     n_kv_heads=2, ff_dim=64, max_len=16)
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 50, (2, 8)),
+                      jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids)["params"]
+    labels = ids.at[:, :4].set(-100)
+    out = model.apply({"params": params}, ids, labels=labels)
+    assert np.isfinite(float(out.loss))
+    # fully-masked labels -> zero loss (0/max(0,1))
+    out2 = model.apply({"params": params}, ids,
+                       labels=jnp.full_like(ids, -100))
+    assert float(out2.loss) == 0.0
+
+
+def test_causal_lm_causality():
+    model = CausalLM(vocab_size=50, d_model=32, n_layers=1, n_heads=4,
+                     n_kv_heads=4, ff_dim=64, max_len=16)
+    ids = jnp.asarray(np.random.default_rng(1).integers(1, 50, (1, 8)),
+                      jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids)["params"]
+    l1 = model.apply({"params": params}, ids).logits
+    l2 = model.apply({"params": params}, ids.at[0, -1].set(3)).logits
+    np.testing.assert_allclose(np.asarray(l1[0, :-1]),
+                               np.asarray(l2[0, :-1]), atol=1e-4)
+
+
+def test_resize_token_embeddings():
+    model = CausalLM(vocab_size=50, d_model=16, n_layers=1, n_heads=2,
+                     n_kv_heads=2, ff_dim=32)
+    ids = jnp.ones((1, 4), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids)["params"]
+    new = resize_token_embeddings(params, 60, jax.random.PRNGKey(1))
+    assert new["wte"].shape == (60, 16)
+    np.testing.assert_allclose(np.asarray(new["wte"][:50]),
+                               np.asarray(params["wte"]))
+
+
+@pytest.fixture(scope="module")
+def tiny_lcrec():
+    model = LCRec(d_model=32, n_layers=1, n_heads=4, n_kv_heads=2,
+                  ff_dim=64, base_vocab=500, max_len=64,
+                  num_codebooks=3, codebook_size=8)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_lcrec_constrained_generation(tiny_lcrec):
+    model, params = tiny_lcrec
+    gen = model.make_generate_topk(num_beams=4)
+    prompt = model.tokenizer.encode("history 1. <C0_1><C1_2><C2_3> next:")
+    L = 16
+    ids = np.zeros((2, L), np.int32)
+    mask = np.zeros((2, L), np.int32)
+    ids[:, L - len(prompt):] = prompt
+    mask[:, L - len(prompt):] = 1
+    out = gen(params, jnp.asarray(ids), jnp.asarray(mask))
+    assert out.sem_ids.shape == (2, 4, 3)
+    sem = np.asarray(out.sem_ids)
+    # constrained to the per-level code alphabet
+    assert sem.min() >= 0 and sem.max() < 8
+    # beams sorted by logp and distinct
+    lp = np.asarray(out.log_probas)
+    assert (np.diff(lp, axis=1) <= 1e-5).all()
+    for b in range(2):
+        tups = [tuple(r) for r in sem[b]]
+        assert len(set(tups)) == len(tups)
+
+
+def test_lcrec_sft_tokenize(tiny_lcrec):
+    model, _ = tiny_lcrec
+    tok = model.tokenize_sft("### Instruction: recommend\n### Response:",
+                             "<C0_1><C1_2><C2_3>")
+    assert tok["input_ids"][-1] == model.tokenizer.EOS
+    p = tok["prompt_seq_length"]
+    # response part is exactly the 3 codebook tokens + EOS
+    assert len(tok["input_ids"]) - p == 4
+
+
+def test_lcrec_save_load(tiny_lcrec, tmp_path):
+    model, params = tiny_lcrec
+    model.save_pretrained(str(tmp_path / "ckpt"), params)
+    model2, params2 = LCRec.load_pretrained(str(tmp_path / "ckpt"))
+    assert model2.num_codebooks == 3
+    assert len(model2.tokenizer) == len(model.tokenizer)
+    np.testing.assert_allclose(np.asarray(params2["wte"]),
+                               np.asarray(params["wte"]))
+
+
+def test_extract_sem_ids():
+    assert LCRec.extract_sem_ids("<C0_5><C1_2><C2_9>", 3) == [5, 2, 9]
+    assert LCRec.extract_sem_ids("junk <C0_5> only", 3) is None
+
+
+def test_task_generator_tasks():
+    from genrec_tpu.data.lcrec import LCRecTaskGenerator
+    from genrec_tpu.data.synthetic import synthetic_corpus
+    _, corpus = synthetic_corpus(n_items=100, n_users=30, n_clusters=8)
+    sem_ids = np.random.default_rng(0).integers(0, 8, (100, 3))
+    gen = LCRecTaskGenerator(corpus, sem_ids, max_seq_len=5)
+    train = gen.generate("train")
+    assert len(train) > 0
+    tasks = {s["task"] for s in train}
+    assert "seqrec" in tasks and len(tasks) >= 3
+    ev = gen.generate("test", max_samples=10)
+    assert all(s["task"] == "seqrec" for s in ev)
+    # seqrec responses are exactly the target's code string
+    s = next(x for x in train if x["task"] == "seqrec")
+    assert s["prompt"].endswith("### Response:")
+    assert s["response"].startswith("<C0_")
