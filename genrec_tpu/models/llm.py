@@ -103,15 +103,25 @@ class CausalLM(nn.Module):
     tie_embeddings: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, input_ids: jnp.ndarray,
-                 attention_mask: Optional[jnp.ndarray] = None,
-                 labels: Optional[jnp.ndarray] = None) -> CausalLMOutput:
+    def setup(self):
         from genrec_tpu.nn.normalize import RMSNorm
+        self.wte = self.param("wte", nn.initializers.normal(stddev=0.02),
+                              (self.vocab_size, self.d_model))
+        self.blocks = [
+            LlmBlock(self.d_model, self.n_heads, self.n_kv_heads,
+                     self.ff_dim, dtype=self.dtype, name=f"layer_{i}")
+            for i in range(self.n_layers)]
+        self.final_norm = RMSNorm(self.d_model, name="final_norm")
+        if not self.tie_embeddings:
+            self.lm_head = nn.Dense(self.vocab_size, use_bias=False,
+                                    dtype=self.dtype, name="lm_head")
+
+    def hidden_states(self, input_ids: jnp.ndarray,
+                      attention_mask: Optional[jnp.ndarray] = None
+                      ) -> jnp.ndarray:
+        """(B, L, D) final-norm hidden states (for embedding extraction)."""
         B, L = input_ids.shape
-        embed = self.param("wte", nn.initializers.normal(stddev=0.02),
-                           (self.vocab_size, self.d_model))
-        x = jnp.take(embed, input_ids, axis=0).astype(self.dtype)
+        x = jnp.take(self.wte, input_ids, axis=0).astype(self.dtype)
 
         if attention_mask is None:
             attention_mask = jnp.ones((B, L), jnp.int32)
@@ -124,17 +134,20 @@ class CausalLM(nn.Module):
                              -1e9, 0.0).astype(jnp.float32)
         bias = causal[None, None] + pad_bias
 
-        for i in range(self.n_layers):
-            x = LlmBlock(self.d_model, self.n_heads, self.n_kv_heads,
-                         self.ff_dim, dtype=self.dtype,
-                         name=f"layer_{i}")(x, positions, bias)
-        x = RMSNorm(self.d_model, name="final_norm")(x)
+        for blk in self.blocks:
+            x = blk(x, positions, bias)
+        return self.final_norm(x)
+
+    def __call__(self, input_ids: jnp.ndarray,
+                 attention_mask: Optional[jnp.ndarray] = None,
+                 labels: Optional[jnp.ndarray] = None) -> CausalLMOutput:
+        x = self.hidden_states(input_ids, attention_mask)
         if self.tie_embeddings:
-            logits = jnp.einsum("bld,vd->blv", x, embed.astype(self.dtype),
+            logits = jnp.einsum("bld,vd->blv", x,
+                                self.wte.astype(self.dtype),
                                 preferred_element_type=jnp.float32)
         else:
-            logits = nn.Dense(self.vocab_size, use_bias=False,
-                              dtype=self.dtype, name="lm_head")(x)
+            logits = self.lm_head(x)
         logits = logits.astype(jnp.float32)
 
         loss = None

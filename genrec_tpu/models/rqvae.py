@@ -123,14 +123,26 @@ class Quantize(nn.Module):
                  train: bool = False,
                  rng: Optional[jax.Array] = None) -> QuantizeOutput:
         codebook = self.out_proj(self.embedding)
-        if self.distance_mode is QuantizeDistance.L2:
+        # modes that only need the argmin use the fused Pallas search (the
+        # full distance matrix never leaves VMEM); gumbel/sinkhorn need the
+        # whole (B, K) matrix, so they take the XLA path.
+        needs_full_dist = train and self.forward_mode in (
+            QuantizeForwardMode.GUMBEL_SOFTMAX, QuantizeForwardMode.SINKHORN)
+        if (self.distance_mode is QuantizeDistance.L2
+                and not needs_full_dist):
+            from genrec_tpu.kernels.codebook import nearest_codeword
+            ids, _ = nearest_codeword(jax.lax.stop_gradient(x),
+                                      jax.lax.stop_gradient(codebook))
+            dist = None
+        elif self.distance_mode is QuantizeDistance.L2:
             dist = _pairwise_l2_sq(x, codebook)
         elif self.distance_mode is QuantizeDistance.COSINE:
             dist = -jnp.dot(l2norm(x), l2norm(codebook).T,
                             preferred_element_type=jnp.float32)
         else:
             raise ValueError(self.distance_mode)
-        ids = jnp.argmin(jax.lax.stop_gradient(dist), axis=1)
+        if dist is not None:
+            ids = jnp.argmin(jax.lax.stop_gradient(dist), axis=1)
 
         if not train:
             emb_out = self.get_item_embeddings(ids)

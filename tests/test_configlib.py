@@ -82,7 +82,7 @@ def test_called_ref():
 
 def test_enum_constants_with_reference_style_path():
     @gin.constants_from_enum
-    class QuantizeForwardMode(enum.Enum):
+    class TestOnlyForwardMode(enum.Enum):
         GUMBEL_SOFTMAX = 1
         STE = 2
 
@@ -92,8 +92,8 @@ def test_enum_constants_with_reference_style_path():
 
     # reference configs use the torch package path; suffix matching resolves it
     gin.parse_config(
-        "cfg.mode = %genrec.models.rqvae_somewhere.QuantizeForwardMode.STE")
-    assert cfg() is QuantizeForwardMode.STE
+        "cfg.mode = %genrec.models.rqvae_somewhere.TestOnlyForwardMode.STE")
+    assert cfg() is TestOnlyForwardMode.STE
 
 
 def test_scoped_name_uses_last_component():

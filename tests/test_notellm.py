@@ -1,0 +1,80 @@
+"""NoteLLM (Query2Embedding) tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genrec_tpu.models.notellm import Query2Embedding, compute_metrics
+
+
+def _make(alpha=0.0):
+    model = Query2Embedding(vocab_size=100, emb_token_id=5, d_model=32,
+                            n_layers=1, n_heads=4, n_kv_heads=2, ff_dim=64,
+                            max_len=32, alpha=alpha)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(6, 100, (8, 12)).astype(np.int32)
+    ids[:, -1] = 5  # [EMB] token at the end
+    ids = jnp.asarray(ids)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids)["params"]
+    return model, params, ids
+
+
+def test_forward_and_embeddings():
+    model, params, ids = _make()
+    out = model.apply({"params": params}, ids)
+    assert out.embeddings.shape == (8, 32)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out.embeddings), axis=-1), 1.0, rtol=1e-4)
+    assert np.isfinite(float(out.loss))
+    assert float(out.generation_loss) == 0.0
+
+
+def test_embedding_taken_at_emb_token():
+    model, params, ids = _make()
+    out1 = model.apply({"params": params}, ids)
+    # moving [EMB] earlier changes the embedding
+    ids2 = np.asarray(ids).copy()
+    ids2[:, -1] = 7
+    ids2[:, 5] = 5
+    out2 = model.apply({"params": params}, jnp.asarray(ids2))
+    assert not np.allclose(np.asarray(out1.embeddings),
+                           np.asarray(out2.embeddings))
+
+
+def test_generation_loss_mixing():
+    model, params, ids = _make(alpha=0.5)
+    labels = ids.at[:, :6].set(-100)
+    out = model.apply({"params": params}, ids, category_labels=labels)
+    assert float(out.generation_loss) > 0
+    np.testing.assert_allclose(
+        float(out.loss),
+        0.5 * float(out.contrastive_loss) + 0.5 * float(out.generation_loss),
+        rtol=1e-5)
+
+
+def test_contrastive_training_improves_retrieval():
+    import optax
+    model, params, ids = _make()
+    tx = optax.adam(3e-3)
+    state = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def lf(p):
+            return model.apply({"params": p}, ids).loss
+        loss, g = jax.value_and_grad(lf)(p)
+        u, s = tx.update(g, s)
+        return optax.apply_updates(p, u), s, loss
+
+    p = params
+    first = None
+    for i in range(30):
+        p, state, loss = step(p, state)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+
+    out = model.apply({"params": p}, ids)
+    emb = np.asarray(out.embeddings)
+    m = compute_metrics(emb[0::2], emb[1::2], ks=(1,))
+    assert m["acc@1"] >= 0.5  # pairs should retrieve each other after training

@@ -1,0 +1,102 @@
+"""Multi-device tests over the 8-virtual-CPU-device mesh: sharding rules,
+sharded top-k, and DP-vs-single-device equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genrec_tpu.ops.topk import full_topk, sharded_topk
+from genrec_tpu.parallel import make_mesh, shard_batch
+from genrec_tpu.parallel.sharding import apply_shardings, param_shardings
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["data"] * mesh.shape["model"] == jax.device_count()
+    mesh2 = make_mesh(data=4, model=2)
+    assert dict(mesh2.shape) == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(data=3, model=2)
+
+
+def test_sharded_topk_matches_full():
+    mesh = make_mesh(data=4, model=2)
+    rng = np.random.default_rng(0)
+    hidden = jnp.asarray(rng.normal(size=(16, 32)), jnp.float32)
+    table = jnp.asarray(rng.normal(size=(1024, 32)), jnp.float32)
+    want_v, want_i = full_topk(hidden, table, 10)
+    got_v, got_i = sharded_topk(mesh, hidden, table, 10)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_param_shardings_rules():
+    mesh = make_mesh(data=4, model=2)
+    params = {
+        "item_embedding": jnp.zeros((2048, 64)),
+        "blocks": {"dense": {"kernel": jnp.zeros((64, 64))}},
+        "small_embedding": jnp.zeros((10, 64)),
+    }
+    sh = param_shardings(mesh, params, min_rows=1024)
+    assert sh["item_embedding"].spec == jax.sharding.PartitionSpec("model")
+    assert sh["blocks"]["dense"]["kernel"].spec == \
+        jax.sharding.PartitionSpec()
+    assert sh["small_embedding"].spec == jax.sharding.PartitionSpec()
+    placed = apply_shardings(params, sh)
+    assert placed["item_embedding"].sharding.spec == \
+        jax.sharding.PartitionSpec("model")
+
+
+def test_data_parallel_step_equals_single_device():
+    """The same SASRec batch must give identical loss on a 1-device and an
+    8-device data-parallel mesh (SPMD correctness)."""
+    import optax
+    from genrec_tpu.core.train_state import TrainState, apply_updates
+    from genrec_tpu.models.sasrec import SASRec
+
+    model = SASRec(num_items=100, max_seq_len=8, embed_dim=16, num_heads=2,
+                   num_blocks=1, ffn_dim=32, dropout=0.0)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 100, (16, 8)), jnp.int32)
+    tgt = jnp.asarray(rng.integers(1, 100, (16, 8)), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids)["params"]
+    tx = optax.adam(1e-2)
+
+    def step(state, ids, tgt):
+        def lf(p):
+            return model.apply({"params": p}, ids, targets=tgt).loss
+        loss, grads = jax.value_and_grad(lf)(state.params)
+        return apply_updates(state, grads, tx), loss
+
+    losses = {}
+    for name, mesh in [("single", make_mesh(data=1, model=1,
+                                            devices=jax.devices()[:1])),
+                       ("dp8", make_mesh(data=8, model=1))]:
+        state = jax.device_put(
+            TrainState.create(params, tx),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+        batch = shard_batch({"ids": ids, "tgt": tgt}, mesh)
+        with mesh:
+            stepped = jax.jit(step)
+            seq = []
+            s = state
+            for _ in range(3):
+                s, loss = stepped(s, batch["ids"], batch["tgt"])
+                seq.append(float(np.asarray(loss)))
+        losses[name] = seq
+    np.testing.assert_allclose(losses["single"], losses["dp8"], rtol=1e-5)
+
+
+def test_model_sharded_tiger_step_runs():
+    """Full TIGER step with (data=4, model=2) shardings compiles + runs."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
