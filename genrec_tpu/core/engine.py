@@ -27,9 +27,12 @@ LossFn = Callable[..., Tuple[jax.Array, Dict[str, jax.Array]]]
 
 
 def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
-                    mesh, donate: bool = True):
+                    mesh, donate: bool = True, sharded_params: bool = False):
     """Build ``step(state, batch, rng) -> (state, metrics)`` jit-compiled over
     ``mesh``. ``loss_fn(params, batch, rng)`` returns (scalar loss, metrics).
+
+    With ``sharded_params`` (model-axis table sharding) output shardings are
+    propagated from the input placement instead of forced replication.
     """
     rep = replicated_sharding(mesh)
 
@@ -44,8 +47,8 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else (),
-                   out_shardings=(rep, rep))
+    kwargs = {} if sharded_params else {"out_shardings": (rep, rep)}
+    return jax.jit(step, donate_argnums=(0,) if donate else (), **kwargs)
 
 
 def make_eval_step(metric_fn: Callable, mesh):
@@ -94,12 +97,20 @@ class Engine:
 
     def __init__(self, mesh, loss_fn: LossFn,
                  tx: optax.GradientTransformation, params,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None,
+                 shard_params: bool = False):
         self.mesh = mesh
         self.tx = tx
-        self.state = jax.device_put(TrainState.create(params, tx),
-                                    replicated_sharding(mesh))
-        self.train_step = make_train_step(loss_fn, tx, mesh)
+        if shard_params:
+            from genrec_tpu.parallel.sharding import (apply_shardings,
+                                                      param_shardings)
+            params = apply_shardings(params, param_shardings(mesh, params))
+            self.state = TrainState.create(params, tx)
+        else:
+            self.state = jax.device_put(TrainState.create(params, tx),
+                                        replicated_sharding(mesh))
+        self.train_step = make_train_step(loss_fn, tx, mesh,
+                                          sharded_params=shard_params)
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.timer = StepTimer()
 

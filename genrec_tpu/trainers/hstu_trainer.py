@@ -53,7 +53,7 @@ def train(epochs: int = 10, batch_size: int = 128,
           wandb_logging: bool = False, wandb_project: str = "",
           wandb_log_interval: int = 100,
           amp: bool = True, mixed_precision_type: str = "bf16",
-          seed: int = 42, max_steps_per_epoch: int = 0, **unused) -> dict:
+          seed: int = 42, shard_params: bool = False, max_steps_per_epoch: int = 0, **unused) -> dict:
     logger = setup_logger("hstu", save_dir_root)
     mesh = make_mesh()
 
@@ -107,7 +107,8 @@ def train(epochs: int = 10, batch_size: int = 128,
         return topk_metric_sums(batch.ids_fut[:, None], topk[:, :, None],
                                 EVAL_KS, valid=batch.valid)
 
-    engine = Engine(mesh, loss_fn, tx, params, rng=rng)
+    engine = Engine(mesh, loss_fn, tx, params, rng=rng,
+                    shard_params=shard_params)
     mlogger = MetricLogger(save_dir_root, wandb_project, wandb_logging,
                            enabled=pidx == 0)
     ckpt = CheckpointManager(os.path.join(save_dir_root, "ckpt"))

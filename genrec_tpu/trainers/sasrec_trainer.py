@@ -82,7 +82,7 @@ def train(epochs: int = 10, batch_size: int = 128,
           wandb_logging: bool = False, wandb_project: str = "",
           wandb_log_interval: int = 100,
           amp: bool = True, mixed_precision_type: str = "bf16",
-          seed: int = 42, max_steps_per_epoch: int = 0,
+          seed: int = 42, shard_params: bool = False, max_steps_per_epoch: int = 0,
           **unused) -> dict:
     logger = setup_logger("sasrec", save_dir_root)
     mesh = make_mesh()
@@ -136,7 +136,8 @@ def train(epochs: int = 10, batch_size: int = 128,
                           rngs={"dropout": rng})
         return out.loss, {}
 
-    engine = Engine(mesh, loss_fn, tx, params, rng=rng)
+    engine = Engine(mesh, loss_fn, tx, params, rng=rng,
+                    shard_params=shard_params)
     eval_step = make_eval_fn(model, mesh)
     mlogger = MetricLogger(save_dir_root, wandb_project, wandb_logging,
                            enabled=jax.process_index() == 0)

@@ -80,7 +80,7 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
           eval_test_every_epoch: int = 10, eval_batch_size: int = 0,
           save_every_epoch: int = 50, save_dir_root: str = "out/tiger",
           wandb_logging: bool = False, wandb_project: str = "",
-          wandb_log_interval: int = 100, seed: int = 42,
+          wandb_log_interval: int = 100, seed: int = 42, shard_params: bool = False,
           max_steps_per_epoch: int = 0, sem_ids_table=None,
           dataset=None, **unused) -> dict:
     logger = setup_logger("tiger", save_dir_root)
@@ -164,7 +164,8 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
                           deterministic=False, rngs={"dropout": rng})
         return out.loss, {}
 
-    engine = Engine(mesh, loss_fn, tx, params, rng=rng)
+    engine = Engine(mesh, loss_fn, tx, params, rng=rng,
+                    shard_params=shard_params)
     ckpt = CheckpointManager(os.path.join(save_dir_root, "ckpt"))
     mlogger = MetricLogger(save_dir_root, wandb_project, wandb_logging,
                            enabled=pidx == 0)
