@@ -186,7 +186,8 @@ def train(epochs: int = 5000, iterations: int = 0,
             host["examples_per_sec"] = timer.examples_per_sec
             mlogger.log(host, step)
         epoch = step // steps_per_epoch
-        if do_eval and step % (eval_every * steps_per_epoch) == 0:
+        if do_eval and len(eval_emb) > 0 and \
+                step % (eval_every * steps_per_epoch) == 0:
             el, erl = eval_loss(engine.state.params, jnp.asarray(eval_emb))
             sem_ids = compute_semantic_ids(model, engine.state.params,
                                            train_emb)
