@@ -21,22 +21,26 @@ import numpy as np
 NOMINAL_BASELINE_EXAMPLES_PER_SEC = 1000.0
 
 
-def bench_tiger(batch_size: int, steps: int, warmup: int, small: bool):
+def bench_tiger(batch_size: int, steps: int, warmup: int, small: bool,
+                dtype_name: str = "float32", n_devices: int = 0):
     import jax
     import jax.numpy as jnp
     import optax
     from genrec_tpu.core.train_state import TrainState, apply_updates
     from genrec_tpu.models.tiger import Tiger
+    from genrec_tpu.parallel import batch_sharding, make_mesh, \
+        replicated_sharding
 
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     if small:
         model = Tiger(embedding_dim=64, attn_dim=96, dropout=0.1,
                       num_heads=4, n_layers=2, num_item_embeddings=64,
-                      num_user_embeddings=10000, sem_id_dim=3)
+                      num_user_embeddings=10000, sem_id_dim=3, dtype=dtype)
     else:
         # paper config: config/tiger/amazon/tiger.gin
         model = Tiger(embedding_dim=128, attn_dim=384, dropout=0.1,
                       num_heads=6, n_layers=8, num_item_embeddings=256,
-                      num_user_embeddings=10000, sem_id_dim=3)
+                      num_user_embeddings=10000, sem_id_dim=3, dtype=dtype)
     L, C, K = 20, model.sem_id_dim, model.num_item_embeddings
     rng = np.random.default_rng(0)
     B = batch_size
@@ -53,6 +57,12 @@ def bench_tiger(batch_size: int, steps: int, warmup: int, small: bool):
     params = model.init({"params": init_rng}, **batch)["params"]
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
     state = TrainState.create(params, tx)
+
+    devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    mesh = make_mesh(data=len(devices), model=1, devices=devices)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    batch = {k: jax.device_put(v, batch_sharding(mesh))
+             for k, v in batch.items()}
 
     @jax.jit
     def step(state, batch, rng):
@@ -84,6 +94,13 @@ def main():
                     help="small model + few steps (CPU-friendly validation)")
     ap.add_argument("--steps", type=int, default=0)
     ap.add_argument("--batch", type=int, default=0)
+    # float32 default: on the axon v5e tunnel the bf16 model path currently
+    # measures ~20x slower than fp32 despite raw bf16 matmuls being 2x
+    # faster — under investigation (suspected layout/conversion pathology).
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--scaling", action="store_true",
+                    help="measure DP scaling efficiency 1 chip -> all chips")
     args = ap.parse_args()
 
     import jax
@@ -92,7 +109,24 @@ def main():
     batch = args.batch or (32 if args.smoke else 256)
     warmup = 2 if args.smoke else 5
 
-    eps, loss = bench_tiger(batch, steps, warmup, small=args.smoke)
+    if args.scaling and n_chips > 1:
+        eps1, _ = bench_tiger(batch, steps, warmup, small=args.smoke,
+                              dtype_name=args.dtype, n_devices=1)
+        epsN, loss = bench_tiger(batch * n_chips, steps, warmup,
+                                 small=args.smoke, dtype_name=args.dtype)
+        efficiency = (epsN / n_chips) / eps1
+        print(json.dumps({
+            "metric": "tiger_train_scaling_efficiency",
+            "value": round(efficiency, 4),
+            "unit": f"per-chip throughput ratio 1->{n_chips} chips",
+            "vs_baseline": round(efficiency / 0.85, 4),
+        }))
+        print(f"# 1chip={eps1:.0f} {n_chips}chips={epsN:.0f} ex/s",
+              file=sys.stderr)
+        return
+
+    eps, loss = bench_tiger(batch, steps, warmup, small=args.smoke,
+                            dtype_name=args.dtype)
     eps_per_chip = eps / max(n_chips, 1)
     print(json.dumps({
         "metric": "tiger_train_examples_per_sec_per_chip",
@@ -102,8 +136,8 @@ def main():
                              4),
     }))
     print(f"# devices={n_chips} platform={jax.devices()[0].platform} "
-          f"batch={batch} steps={steps} final_loss={loss:.3f}",
-          file=sys.stderr)
+          f"batch={batch} steps={steps} dtype={args.dtype} "
+          f"final_loss={loss:.3f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

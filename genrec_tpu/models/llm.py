@@ -101,15 +101,17 @@ class CausalLM(nn.Module):
     ff_dim: int = 1408
     max_len: int = 1024
     tie_embeddings: bool = True
+    remat: bool = False   # rematerialize blocks: trade FLOPs for HBM
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         from genrec_tpu.nn.normalize import RMSNorm
         self.wte = self.param("wte", nn.initializers.normal(stddev=0.02),
                               (self.vocab_size, self.d_model))
+        block_cls = nn.remat(LlmBlock) if self.remat else LlmBlock
         self.blocks = [
-            LlmBlock(self.d_model, self.n_heads, self.n_kv_heads,
-                     self.ff_dim, dtype=self.dtype, name=f"layer_{i}")
+            block_cls(self.d_model, self.n_heads, self.n_kv_heads,
+                      self.ff_dim, dtype=self.dtype, name=f"layer_{i}")
             for i in range(self.n_layers)]
         self.final_norm = RMSNorm(self.d_model, name="final_norm")
         if not self.tie_embeddings:
