@@ -124,3 +124,21 @@ class Engine:
     @property
     def step(self) -> int:
         return int(np.asarray(self.state.step))
+
+    def save(self, ckpt_manager, config: Optional[dict] = None) -> None:
+        """Checkpoint the FULL train state (params + optimizer + step) —
+        the reference's ``{epoch, model, optimizer, scheduler}`` contract
+        (rqvae_trainer.py:313-324)."""
+        host_state = jax.tree_util.tree_map(np.asarray, self.state)
+        ckpt_manager.save(self.step, host_state, config=config)
+
+    def restore(self, ckpt_manager) -> bool:
+        """Resume from the latest checkpoint if one exists."""
+        if ckpt_manager.latest_step() is None:
+            return False
+        template = jax.tree_util.tree_map(np.asarray, self.state)
+        restored = ckpt_manager.restore(template)
+        self.state = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, restored),
+            replicated_sharding(self.mesh))
+        return True

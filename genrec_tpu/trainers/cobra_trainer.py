@@ -68,6 +68,7 @@ def train(epochs: int = 10, learning_rate: float = 1e-4,
           save_dir_root: str = "out/cobra", save_every_epoch: int = 50,
           wandb_logging: bool = False, wandb_project: str = "",
           wandb_log_interval: int = 50, seed: int = 42,
+          resume_from_checkpoint: bool = False,
           max_steps_per_epoch: int = 0, sem_ids_table=None, **unused) -> dict:
     logger = setup_logger("cobra", save_dir_root)
     mesh = make_mesh()
@@ -156,6 +157,8 @@ def train(epochs: int = 10, learning_rate: float = 1e-4,
     mlogger = MetricLogger(save_dir_root, wandb_project, wandb_logging,
                            enabled=pidx == 0)
     ckpt = CheckpointManager(os.path.join(save_dir_root, "ckpt"))
+    if resume_from_checkpoint and engine.restore(ckpt):
+        logger.info("resumed from step %d", engine.step)
     acc = TopKAccumulator(ks=EVAL_KS)
 
     def evaluate() -> dict:
@@ -198,14 +201,11 @@ def train(epochs: int = 10, learning_rate: float = 1e-4,
             logger.info("epoch %d eval: %s", epoch,
                         {k: round(v, 4) for k, v in m.items()})
         if (epoch + 1) % save_every_epoch == 0:
-            ckpt.save(engine.step, engine.state.params,
-                      config=gin.operative_config())
+            engine.save(ckpt, config=gin.operative_config())
 
     final = evaluate()
     logger.info("final: %s", {k: round(v, 4) for k, v in final.items()})
-    ckpt.save(engine.step + 1,
-              jax.tree_util.tree_map(np.asarray, engine.state.params),
-              config=gin.operative_config())
+    engine.save(ckpt, config=gin.operative_config())
     mlogger.close()
     return final
 

@@ -91,6 +91,7 @@ def train(epochs: int = 5000, iterations: int = 0,
           pretrained_rqvae_path: str = "",
           wandb_logging: bool = False, wandb_project: str = "",
           wandb_log_interval: int = 100, seed: int = 42,
+          resume_from_checkpoint: bool = False,
           dataset=None, **unused) -> dict:
     logger = setup_logger("rqvae", save_dir_root)
     mesh = make_mesh()
@@ -162,6 +163,8 @@ def train(epochs: int = 5000, iterations: int = 0,
         }
 
     engine = Engine(mesh, loss_fn, tx, params, rng=train_rng)
+    if resume_from_checkpoint and engine.restore(ckpt):
+        logger.info("resumed from step %d", engine.step)
     mlogger = MetricLogger(save_dir_root, wandb_project, wandb_logging,
                            enabled=jax.process_index() == 0)
 
@@ -200,7 +203,7 @@ def train(epochs: int = 5000, iterations: int = 0,
                         {k: round(v, 4) for k, v in em.items()},
                         timer.examples_per_sec)
         if step % (save_model_every * steps_per_epoch) == 0:
-            ckpt.save(step, engine.state.params, config=model_config)
+            engine.save(ckpt, config=model_config)
 
     # final artifact: params + config + full-catalog code table
     sem_ids = compute_semantic_ids(model, engine.state.params, all_emb)

@@ -82,7 +82,8 @@ def train(epochs: int = 10, batch_size: int = 128,
           wandb_logging: bool = False, wandb_project: str = "",
           wandb_log_interval: int = 100,
           amp: bool = True, mixed_precision_type: str = "bf16",
-          seed: int = 42, shard_params: bool = False, max_steps_per_epoch: int = 0,
+          seed: int = 42, shard_params: bool = False,
+          resume_from_checkpoint: bool = False, max_steps_per_epoch: int = 0,
           **unused) -> dict:
     logger = setup_logger("sasrec", save_dir_root)
     mesh = make_mesh()
@@ -142,6 +143,8 @@ def train(epochs: int = 10, batch_size: int = 128,
     mlogger = MetricLogger(save_dir_root, wandb_project, wandb_logging,
                            enabled=jax.process_index() == 0)
     ckpt = CheckpointManager(os.path.join(save_dir_root, "ckpt"))
+    if resume_from_checkpoint and engine.restore(ckpt):
+        logger.info("resumed from step %d", engine.step)
 
     best_recall10, best_params = -1.0, None
     timer = StepTimer()
@@ -170,16 +173,17 @@ def train(epochs: int = 10, batch_size: int = 128,
                 best_params = jax.tree_util.tree_map(np.asarray,
                                                      engine.state.params)
         if (epoch + 1) % save_every_epoch == 0:
-            ckpt.save(engine.step, engine.state.params,
-                      config=gin.operative_config())
+            engine.save(ckpt, config=gin.operative_config())
 
     final_params = best_params if best_params is not None \
         else engine.state.params
     test_metrics = evaluate(model, final_params, test_loader, mesh, eval_step)
     logger.info("test: %s", {k: round(v, 4) for k, v in test_metrics.items()})
     mlogger.log(test_metrics, engine.step, section="test")
-    ckpt.save(engine.step + 1, jax.tree_util.tree_map(np.asarray, final_params),
-              config=gin.operative_config())
+    best_ckpt = CheckpointManager(os.path.join(save_dir_root, "best"))
+    best_ckpt.save(engine.step, jax.tree_util.tree_map(np.asarray,
+                                                       final_params),
+                   config=gin.operative_config())
     mlogger.close()
     return test_metrics
 

@@ -81,6 +81,7 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
           save_every_epoch: int = 50, save_dir_root: str = "out/tiger",
           wandb_logging: bool = False, wandb_project: str = "",
           wandb_log_interval: int = 100, seed: int = 42, shard_params: bool = False,
+          resume_from_checkpoint: bool = False,
           max_steps_per_epoch: int = 0, sem_ids_table=None,
           dataset=None, **unused) -> dict:
     logger = setup_logger("tiger", save_dir_root)
@@ -167,6 +168,8 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
     engine = Engine(mesh, loss_fn, tx, params, rng=rng,
                     shard_params=shard_params)
     ckpt = CheckpointManager(os.path.join(save_dir_root, "ckpt"))
+    if resume_from_checkpoint and engine.restore(ckpt):
+        logger.info("resumed from step %d", engine.step)
     mlogger = MetricLogger(save_dir_root, wandb_project, wandb_logging,
                            enabled=pidx == 0)
 
@@ -210,16 +213,13 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
                         {k: round(v, 4) for k, v in m.items()})
             results = m
         if (epoch + 1) % save_every_epoch == 0:
-            ckpt.save(engine.step, engine.state.params,
-                      config=gin.operative_config())
+            engine.save(ckpt, config=gin.operative_config())
 
     results = evaluate(generate, engine.state.params, test_loader, mesh, acc,
                        eval_rng)
     logger.info("final test: %s", {k: round(v, 4) for k, v in results.items()})
     mlogger.log(results, engine.step, section="test")
-    ckpt.save(engine.step + 1,
-              jax.tree_util.tree_map(np.asarray, engine.state.params),
-              config=gin.operative_config())
+    engine.save(ckpt, config=gin.operative_config())
     mlogger.close()
     return results
 
