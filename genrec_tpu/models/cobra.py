@@ -10,8 +10,9 @@ in-batch InfoNCE dense loss masking same-sequence negatives (:466-493),
 metrics: token top1/top5 acc, item recall, cos-sim, codebook entropy
 (:510-527), per-codebook beam ``generate`` (:531-665) and ``beam_fusion``
 (:679-760 — score fusion ``α·softmax(beam) + (1-α)·(sim+1)/2`` against
-precomputed item dense vectors). The commented-out cross-batch memory queue
-(:283-320) is exposed as ``use_feature_queue`` (host-side state).
+precomputed item dense vectors). The reference's cross-batch memory-queue
+InfoNCE variant (:283-320) is dead code there (commented out in forward) and
+is intentionally not carried over; the active in-batch InfoNCE is.
 
 TPU-first notes: the reference interleaves sparse/dense tokens with dynamic
 Python chunking; with static (T, C) the interleave is a reshape —

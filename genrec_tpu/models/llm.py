@@ -39,12 +39,56 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray,
     return jnp.concatenate([rx1, rx2], axis=-1).astype(x.dtype)
 
 
+class LoraDense(nn.Module):
+    """Dense with an additive low-rank adapter: ``W x + (B A) x · α/r``.
+
+    Parity with the reference's peft-LoRA on qkvo+MLP projections
+    (``trainers/lcrec_trainer.py:306-315``). The base kernel trains too
+    unless the optimizer masks it — see :func:`lora_param_mask`.
+    """
+    features: int
+    rank: int
+    alpha: float = 16.0
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                     name="base")(x)
+        a = self.param("lora_a", nn.initializers.normal(stddev=0.02),
+                       (x.shape[-1], self.rank))
+        b = self.param("lora_b", nn.initializers.zeros,
+                       (self.rank, self.features))
+        scale = self.alpha / self.rank
+        return y + (x @ a.astype(self.dtype)) @ b.astype(self.dtype) * scale
+
+
+def lora_param_mask(params) -> dict:
+    """True for LoRA params (and nothing else) — feed to ``optax.masked`` to
+    freeze the base weights (peft parity: only adapters train)."""
+    import jax
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: any(
+            str(getattr(p, "key", "")) in ("lora_a", "lora_b")
+            for p in path),
+        params)
+
+
 class LlmBlock(nn.Module):
     d_model: int
     n_heads: int
     n_kv_heads: int
     ff_dim: int
+    lora_rank: int = 0
     dtype: jnp.dtype = jnp.float32
+
+    def _dense(self, feats, name, use_bias=False):
+        if self.lora_rank > 0:
+            return LoraDense(feats, rank=self.lora_rank, use_bias=use_bias,
+                             dtype=self.dtype, name=name)
+        return nn.Dense(feats, use_bias=use_bias, dtype=self.dtype,
+                        name=name)
 
     @nn.compact
     def __call__(self, x, positions, attn_bias):
@@ -53,9 +97,9 @@ class LlmBlock(nn.Module):
         H, KV = self.n_heads, self.n_kv_heads
         Dh = D // H
         h = RMSNorm(D, name="attn_norm")(x)
-        q = nn.Dense(H * Dh, use_bias=True, dtype=self.dtype, name="q")(h)
-        k = nn.Dense(KV * Dh, use_bias=True, dtype=self.dtype, name="k")(h)
-        v = nn.Dense(KV * Dh, use_bias=True, dtype=self.dtype, name="v")(h)
+        q = self._dense(H * Dh, "q", use_bias=True)(h)
+        k = self._dense(KV * Dh, "k", use_bias=True)(h)
+        v = self._dense(KV * Dh, "v", use_bias=True)(h)
         q = q.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, KV, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, KV, Dh).transpose(0, 2, 1, 3)
@@ -72,15 +116,12 @@ class LlmBlock(nn.Module):
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
-        x = x + nn.Dense(D, use_bias=False, dtype=self.dtype, name="o")(out)
+        x = x + self._dense(D, "o")(out)
 
         h = RMSNorm(D, name="mlp_norm")(x)
-        gate = nn.Dense(self.ff_dim, use_bias=False, dtype=self.dtype,
-                        name="gate")(h)
-        up = nn.Dense(self.ff_dim, use_bias=False, dtype=self.dtype,
-                      name="up")(h)
-        down = nn.Dense(D, use_bias=False, dtype=self.dtype,
-                        name="down")(nn.silu(gate) * up)
+        gate = self._dense(self.ff_dim, "gate")(h)
+        up = self._dense(self.ff_dim, "up")(h)
+        down = self._dense(D, "down")(nn.silu(gate) * up)
         return x + down
 
 
@@ -102,6 +143,7 @@ class CausalLM(nn.Module):
     max_len: int = 1024
     tie_embeddings: bool = True
     remat: bool = False   # rematerialize blocks: trade FLOPs for HBM
+    lora_rank: int = 0    # >0: low-rank adapters on every projection
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -111,7 +153,8 @@ class CausalLM(nn.Module):
         block_cls = nn.remat(LlmBlock) if self.remat else LlmBlock
         self.blocks = [
             block_cls(self.d_model, self.n_heads, self.n_kv_heads,
-                      self.ff_dim, dtype=self.dtype, name=f"layer_{i}")
+                      self.ff_dim, lora_rank=self.lora_rank,
+                      dtype=self.dtype, name=f"layer_{i}")
             for i in range(self.n_layers)]
         self.final_norm = RMSNorm(self.d_model, name="final_norm")
         if not self.tie_embeddings:

@@ -5,8 +5,9 @@ collate with prompt-masked labels (−100) and padding (:43-84), constrained
 decoding per codebook level (:87-128, compiled into the beam search here),
 eval parsing ``<Ci_j>`` and scoring exact/TopK for seqrec (:131-239),
 ``max_train_samples`` debug cap (:327-333), eval-only mode (:357-364),
-HF-format checkpoints (:419-430). LoRA is not ported: the backbone is
-in-repo and fully trainable (see models/lcrec.py docstring).
+HF-format checkpoints (:419-430), and optional LoRA (:306-315 — here
+``use_lora=True`` adds low-rank adapters to every projection and freezes the
+base weights via ``optax.multi_transform``).
 
 Run: ``python -m genrec_tpu.trainers.lcrec_trainer config/lcrec/synthetic.gin``
 """
@@ -72,6 +73,8 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
           d_model: int = 512, n_layers: int = 8, n_heads: int = 8,
           n_kv_heads: int = 4, ff_dim: int = 1408, base_vocab: int = 30000,
           num_codebooks: int = 5, codebook_size: int = 256,
+          use_lora: bool = False, lora_rank: int = 8,
+          remat: bool = False,
           dataset_type: str = "synthetic",
           dataset_folder: str = "dataset/amazon", split: str = "beauty",
           pretrained_rqvae_path: str = "", sem_ids_table=None,
@@ -120,7 +123,8 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
     model = LCRec(d_model=d_model, n_layers=n_layers, n_heads=n_heads,
                   n_kv_heads=n_kv_heads, ff_dim=ff_dim,
                   base_vocab=base_vocab, max_len=max_len + C + 1,
-                  num_codebooks=num_codebooks, codebook_size=codebook_size)
+                  num_codebooks=num_codebooks, codebook_size=codebook_size,
+                  lora_rank=lora_rank if use_lora else 0, remat=remat)
     gen = LCRecTaskGenerator(corpus, sem_ids, item_titles=titles,
                              item_descriptions=descs,
                              max_seq_len=max_seq_len, seed=seed)
@@ -178,6 +182,15 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
                              total_steps=total_steps)
     tx = make_optimizer(schedule, optimizer="adamw",
                         weight_decay=weight_decay, grad_clip_norm=1.0)
+    if use_lora:
+        # peft parity: only the low-rank adapters train; base weights frozen
+        import optax
+        from genrec_tpu.models.llm import lora_param_mask
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            lambda params: jax.tree_util.tree_map(
+                lambda is_lora: "train" if is_lora else "freeze",
+                lora_param_mask(params)))
 
     def loss_fn(params, batch, rng):
         out = model.apply(params, batch["input_ids"],

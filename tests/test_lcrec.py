@@ -141,3 +141,42 @@ def test_task_generator_tasks():
     s = next(x for x in train if x["task"] == "seqrec")
     assert s["prompt"].endswith("### Response:")
     assert s["response"].startswith("<C0_")
+
+
+def test_lora_adapters_and_freezing():
+    import optax
+    from genrec_tpu.models.llm import CausalLM, lora_param_mask
+    model = CausalLM(vocab_size=50, d_model=32, n_layers=1, n_heads=4,
+                     n_kv_heads=2, ff_dim=64, max_len=16, lora_rank=4)
+    ids = jnp.ones((2, 8), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids)["params"]
+    mask = lora_param_mask(params)
+    leaves = jax.tree_util.tree_leaves(mask)
+    assert any(leaves) and not all(leaves)
+    # lora_b starts at zero -> output equals a lora-free model's structure
+    out = model.apply({"params": params}, ids, labels=ids)
+    assert np.isfinite(float(out.loss))
+
+    # frozen base: after optimizer steps only lora params change
+    tx = optax.multi_transform(
+        {"train": optax.adam(1e-2), "freeze": optax.set_to_zero()},
+        lambda p: jax.tree_util.tree_map(
+            lambda is_lora: "train" if is_lora else "freeze",
+            lora_param_mask(p)))
+    state = tx.init(params)
+
+    def lf(p):
+        return model.apply({"params": p}, ids, labels=ids).loss
+
+    g = jax.grad(lf)(params)
+    updates, _ = tx.update(g, state, params)
+    new_params = optax.apply_updates(params, updates)
+    base_kernel = params["layer_0"]["q"]["base"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(new_params["layer_0"]["q"]["base"]["kernel"]),
+        np.asarray(base_kernel))
+    # lora_b starts at 0 so it has nonzero grads (lora_a's grad is 0 on the
+    # first step since it multiplies b=0)
+    assert not np.allclose(
+        np.asarray(new_params["layer_0"]["q"]["lora_b"]),
+        np.asarray(params["layer_0"]["q"]["lora_b"]))
