@@ -124,8 +124,8 @@ class LCRec:
                  n_heads: int = 8, n_kv_heads: int = 4, ff_dim: int = 1408,
                  base_vocab: int = 30000, max_len: int = 512,
                  num_codebooks: int = 0, codebook_size: int = 0,
-                 lora_rank: int = 0, remat: bool = False,
-                 dtype=jnp.float32):
+                 lora_rank: int = 0, lora_alpha: float = 16.0,
+                 remat: bool = False, dtype=jnp.float32):
         self.tokenizer = WordTokenizer(base_vocab=base_vocab)
         self.num_codebooks = num_codebooks
         self.codebook_size = codebook_size
@@ -135,13 +135,14 @@ class LCRec:
             vocab_size=len(self.tokenizer), d_model=d_model,
             n_layers=n_layers, n_heads=n_heads, n_kv_heads=n_kv_heads,
             ff_dim=ff_dim, max_len=max_len, lora_rank=lora_rank,
-            remat=remat, dtype=dtype)
+            lora_alpha=lora_alpha, remat=remat, dtype=dtype)
         self._config = dict(d_model=d_model, n_layers=n_layers,
                             n_heads=n_heads, n_kv_heads=n_kv_heads,
                             ff_dim=ff_dim, base_vocab=base_vocab,
                             max_len=max_len, num_codebooks=num_codebooks,
                             codebook_size=codebook_size,
-                            lora_rank=lora_rank, remat=remat)
+                            lora_rank=lora_rank, lora_alpha=lora_alpha,
+                            remat=remat)
 
     def add_codebook_tokens(self, num_codebooks: int,
                             codebook_size: int) -> None:

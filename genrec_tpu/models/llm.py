@@ -67,12 +67,23 @@ class LoraDense(nn.Module):
 def lora_param_mask(params) -> dict:
     """True for LoRA params (and nothing else) — feed to ``optax.masked`` to
     freeze the base weights (peft parity: only adapters train)."""
-    import jax
     return jax.tree_util.tree_map_with_path(
         lambda path, _: any(
             str(getattr(p, "key", "")) in ("lora_a", "lora_b")
             for p in path),
         params)
+
+
+def lora_label_fn(params) -> dict:
+    """'train'/'freeze' labels for ``optax.multi_transform``; raises if no
+    LoRA params exist (use_lora with lora_rank=0 would silently freeze
+    everything otherwise)."""
+    mask = lora_param_mask(params)
+    if not any(jax.tree_util.tree_leaves(mask)):
+        raise ValueError("LoRA freezing requested but the model has no "
+                         "lora_a/lora_b params (is lora_rank > 0?)")
+    return jax.tree_util.tree_map(
+        lambda is_lora: "train" if is_lora else "freeze", mask)
 
 
 class LlmBlock(nn.Module):
@@ -81,11 +92,13 @@ class LlmBlock(nn.Module):
     n_kv_heads: int
     ff_dim: int
     lora_rank: int = 0
+    lora_alpha: float = 16.0
     dtype: jnp.dtype = jnp.float32
 
     def _dense(self, feats, name, use_bias=False):
         if self.lora_rank > 0:
-            return LoraDense(feats, rank=self.lora_rank, use_bias=use_bias,
+            return LoraDense(feats, rank=self.lora_rank,
+                             alpha=self.lora_alpha, use_bias=use_bias,
                              dtype=self.dtype, name=name)
         return nn.Dense(feats, use_bias=use_bias, dtype=self.dtype,
                         name=name)
@@ -144,6 +157,7 @@ class CausalLM(nn.Module):
     tie_embeddings: bool = True
     remat: bool = False   # rematerialize blocks: trade FLOPs for HBM
     lora_rank: int = 0    # >0: low-rank adapters on every projection
+    lora_alpha: float = 16.0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -154,6 +168,7 @@ class CausalLM(nn.Module):
         self.blocks = [
             block_cls(self.d_model, self.n_heads, self.n_kv_heads,
                       self.ff_dim, lora_rank=self.lora_rank,
+                      lora_alpha=self.lora_alpha,
                       dtype=self.dtype, name=f"layer_{i}")
             for i in range(self.n_layers)]
         self.final_norm = RMSNorm(self.d_model, name="final_norm")

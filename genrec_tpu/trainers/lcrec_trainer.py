@@ -74,7 +74,8 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
           n_kv_heads: int = 4, ff_dim: int = 1408, base_vocab: int = 30000,
           num_codebooks: int = 5, codebook_size: int = 256,
           use_lora: bool = False, lora_rank: int = 8,
-          remat: bool = False,
+          lora_alpha: float = 16.0, lora_r: int = 0,
+          pretrained_backbone_path: str = "", remat: bool = False,
           dataset_type: str = "synthetic",
           dataset_folder: str = "dataset/amazon", split: str = "beauty",
           pretrained_rqvae_path: str = "", sem_ids_table=None,
@@ -120,11 +121,17 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
     if sem_ids.max() >= codebook_size:
         raise ValueError("sem_ids exceed codebook_size")
 
+    # accept the reference's peft knob name lora_r as an alias
+    if lora_r:
+        lora_rank = lora_r
+    if use_lora and lora_rank <= 0:
+        raise ValueError("use_lora=True requires lora_rank > 0")
     model = LCRec(d_model=d_model, n_layers=n_layers, n_heads=n_heads,
                   n_kv_heads=n_kv_heads, ff_dim=ff_dim,
                   base_vocab=base_vocab, max_len=max_len + C + 1,
                   num_codebooks=num_codebooks, codebook_size=codebook_size,
-                  lora_rank=lora_rank if use_lora else 0, remat=remat)
+                  lora_rank=lora_rank if use_lora else 0,
+                  lora_alpha=lora_alpha, remat=remat)
     gen = LCRecTaskGenerator(corpus, sem_ids, item_titles=titles,
                              item_descriptions=descs,
                              max_seq_len=max_seq_len, seed=seed)
@@ -134,7 +141,20 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
                 len(eval_samples), len(model.tokenizer))
 
     rng = jax.random.PRNGKey(seed)
-    params = model.init_params(rng)
+    if pretrained_backbone_path:
+        loaded, params = LCRec.load_pretrained(pretrained_backbone_path)
+        if len(loaded.tokenizer) != len(model.tokenizer):
+            raise ValueError("pretrained backbone vocab mismatch")
+        logger.info("loaded pretrained backbone from %s",
+                    pretrained_backbone_path)
+    else:
+        params = model.init_params(rng)
+        if use_lora:
+            logger.warning(
+                "use_lora=True with a randomly-initialized backbone: "
+                "freezing random base weights is almost never what you "
+                "want — set pretrained_backbone_path (LoRA exists to "
+                "adapt a pretrained model).")
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     logger.info("model params: %.2fM", n_params / 1e6)
 
@@ -185,12 +205,9 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
     if use_lora:
         # peft parity: only the low-rank adapters train; base weights frozen
         import optax
-        from genrec_tpu.models.llm import lora_param_mask
+        from genrec_tpu.models.llm import lora_label_fn
         tx = optax.multi_transform(
-            {"train": tx, "freeze": optax.set_to_zero()},
-            lambda params: jax.tree_util.tree_map(
-                lambda is_lora: "train" if is_lora else "freeze",
-                lora_param_mask(params)))
+            {"train": tx, "freeze": optax.set_to_zero()}, lora_label_fn)
 
     def loss_fn(params, batch, rng):
         out = model.apply(params, batch["input_ids"],

@@ -158,11 +158,10 @@ def test_lora_adapters_and_freezing():
     assert np.isfinite(float(out.loss))
 
     # frozen base: after optimizer steps only lora params change
+    from genrec_tpu.models.llm import lora_label_fn
     tx = optax.multi_transform(
         {"train": optax.adam(1e-2), "freeze": optax.set_to_zero()},
-        lambda p: jax.tree_util.tree_map(
-            lambda is_lora: "train" if is_lora else "freeze",
-            lora_param_mask(p)))
+        lora_label_fn)
     state = tx.init(params)
 
     def lf(p):
@@ -180,3 +179,13 @@ def test_lora_adapters_and_freezing():
     assert not np.allclose(
         np.asarray(new_params["layer_0"]["q"]["lora_b"]),
         np.asarray(params["layer_0"]["q"]["lora_b"]))
+
+
+def test_lora_label_fn_rejects_lora_free_model():
+    from genrec_tpu.models.llm import CausalLM, lora_label_fn
+    model = CausalLM(vocab_size=50, d_model=16, n_layers=1, n_heads=2,
+                     n_kv_heads=2, ff_dim=32)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.ones((1, 4), jnp.int32))["params"]
+    with pytest.raises(ValueError, match="no .*lora"):
+        lora_label_fn(params)
