@@ -1,0 +1,167 @@
+"""Serving-side inference APIs.
+
+The reference ships no serving layer (SURVEY.md §1: "no serving layer"); for
+production deployment this module packages the trained artifacts behind
+batch-inference classes with compiled hot paths:
+
+* :class:`SASRecRecommender` / :class:`HSTURecommender` — next-item top-k
+  from raw id histories (full-catalog scoring, optionally sharded).
+* :class:`TigerRecommender` — trie-constrained semantic-ID generation mapped
+  back to catalog item ids.
+
+All entry points pad to fixed shapes so the compiled executable is reused
+across requests.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genrec_tpu.core import CheckpointManager, load_rqvae_artifact
+
+
+def _pad_histories(histories: Sequence[Sequence[int]], max_len: int,
+                   one_based: bool) -> np.ndarray:
+    out = np.zeros((len(histories), max_len), np.int32)
+    for r, h in enumerate(histories):
+        h = [i + 1 for i in h] if one_based else list(h)
+        h = h[-max_len:]
+        out[r, max_len - len(h):] = h
+    return out
+
+
+class SASRecRecommender:
+    """Batch next-item recommendation from a trained SASRec checkpoint."""
+
+    def __init__(self, model, params, max_seq_len: Optional[int] = None):
+        from genrec_tpu.models.sasrec import predict_topk
+        self.model = model
+        self.params = params
+        self.max_seq_len = max_seq_len or model.max_seq_len
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(2,))
+        def _recommend(params, ids, k):
+            out = model.apply({"params": params}, ids, deterministic=True)
+            return predict_topk(out.logits[:, -1, :], k)
+        self._fn = _recommend
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_dir: str, model) -> "SASRecRecommender":
+        ckpt = CheckpointManager(ckpt_dir)
+        dummy = jnp.zeros((1, model.max_seq_len), jnp.int32)
+        template = jax.tree_util.tree_map(
+            np.asarray,
+            model.init({"params": jax.random.PRNGKey(0)}, dummy)["params"])
+        params = ckpt.restore(template)
+        return cls(model, params)
+
+    def recommend(self, histories: Sequence[Sequence[int]],
+                  k: int = 10) -> np.ndarray:
+        """0-based item-id histories → (B, k) 0-based recommendations."""
+        ids = _pad_histories(histories, self.max_seq_len, one_based=True)
+        top = self._fn(self.params, jnp.asarray(ids), k)
+        return np.asarray(top) - 1
+
+
+class HSTURecommender(SASRecRecommender):
+    """HSTU variant: carries timestamps alongside the id history."""
+
+    def __init__(self, model, params, max_seq_len: Optional[int] = None):
+        from genrec_tpu.models.sasrec import predict_topk
+        self.model = model
+        self.params = params
+        self.max_seq_len = max_seq_len or model.max_seq_len
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(3,))
+        def _recommend(params, ids, ts, k):
+            out = model.apply({"params": params}, ids, timestamps=ts,
+                              deterministic=True)
+            return predict_topk(out.logits[:, -1, :], k)
+        self._fn = _recommend
+
+    def recommend(self, histories, k: int = 10, timestamps=None) -> np.ndarray:
+        ids = _pad_histories(histories, self.max_seq_len, one_based=True)
+        L = self.max_seq_len
+        ts = np.zeros((len(histories), L), np.int32)
+        if timestamps is not None:
+            for r, t in enumerate(timestamps):
+                t = list(t)[-L:]
+                ts[r, L - len(t):] = t
+        top = self._fn(self.params, jnp.asarray(ids), jnp.asarray(ts), k)
+        return np.asarray(top) - 1
+
+
+class TigerRecommender:
+    """Generative retrieval: histories → semantic-ID beams → item ids."""
+
+    def __init__(self, model, params, sem_ids: np.ndarray,
+                 num_beams: int = 10, max_seq_len: int = 20):
+        from genrec_tpu.models.tiger import build_trie, make_generate_fn
+        self.model = model
+        self.params = params
+        self.sem_ids = np.asarray(sem_ids, np.int32)
+        self.max_seq_len = max_seq_len
+        trie = build_trie(self.sem_ids, model.num_item_embeddings)
+        self._generate = make_generate_fn(model, trie, num_beams=num_beams)
+        # code tuple -> item id (first occurrence wins, as in the catalog)
+        self._code_to_item = {}
+        for item, codes in enumerate(self.sem_ids):
+            self._code_to_item.setdefault(tuple(int(c) for c in codes), item)
+
+    @classmethod
+    def from_artifacts(cls, tiger_ckpt_dir: str, rqvae_artifact_dir: str,
+                       model, **kw) -> "TigerRecommender":
+        _, _, sem_ids = load_rqvae_artifact(rqvae_artifact_dir)
+        ckpt = CheckpointManager(tiger_ckpt_dir)
+        C = model.sem_id_dim
+        dummy = dict(
+            user_ids=jnp.zeros((1,), jnp.int32),
+            sem_ids=jnp.zeros((1, C), jnp.int32),
+            token_type_ids=jnp.arange(C, dtype=jnp.int32)[None],
+            sem_ids_fut=jnp.zeros((1, C), jnp.int32),
+            token_type_ids_fut=jnp.arange(C, dtype=jnp.int32)[None],
+            seq_mask=jnp.ones((1, C), bool))
+        template = jax.tree_util.tree_map(
+            np.asarray,
+            model.init({"params": jax.random.PRNGKey(0)}, **dummy)["params"])
+        restored = ckpt.restore(template)
+        return cls(model, restored, sem_ids, **kw)
+
+    def recommend(self, user_ids: Sequence[int],
+                  histories: Sequence[Sequence[int]],
+                  k: int = 10) -> List[List[int]]:
+        """0-based item histories → per-row ranked item ids (≤ k each)."""
+        from genrec_tpu.data.batching import tiger_batch
+        from genrec_tpu.data.sequences import Sample
+        samples = [Sample(user_id=int(u), history=list(h), target=0)
+                   for u, h in zip(user_ids, histories)]
+        batch = tiger_batch(samples, self.sem_ids, self.max_seq_len,
+                            pad_id=self.model.num_item_embeddings
+                            * self.model.sem_id_dim)
+        out = self._generate(self.params, jnp.asarray(batch.user_ids),
+                             jnp.asarray(batch.sem_ids),
+                             jnp.asarray(batch.token_type_ids),
+                             jnp.asarray(batch.seq_mask),
+                             jax.random.PRNGKey(0))
+        results = []
+        for beams, logps in zip(np.asarray(out.sem_ids),
+                                np.asarray(out.log_probas)):
+            row = []
+            for codes, lp in zip(beams, logps):
+                if lp <= -1e30:
+                    continue
+                item = self._code_to_item.get(tuple(int(c) for c in codes))
+                if item is not None and item not in row:
+                    row.append(item)
+                if len(row) == k:
+                    break
+            results.append(row)
+        return results

@@ -1,0 +1,56 @@
+"""Serving-layer tests: recommenders over trained checkpoints."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genrec_tpu.models.sasrec import SASRec
+from genrec_tpu.models.tiger import Tiger
+from genrec_tpu.serving import SASRecRecommender, TigerRecommender
+
+
+def test_sasrec_recommender_roundtrip(tmp_path):
+    from genrec_tpu.core import CheckpointManager
+    model = SASRec(num_items=30, max_seq_len=8, embed_dim=16, num_heads=2,
+                   num_blocks=1, ffn_dim=32, dropout=0.0)
+    dummy = jnp.zeros((1, 8), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, dummy)["params"]
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save(1, jax.tree_util.tree_map(np.asarray, params))
+
+    rec = SASRecRecommender.from_checkpoint(str(tmp_path / "ckpt"), model)
+    out = rec.recommend([[0, 1, 2], [5]], k=5)
+    assert out.shape == (2, 5)
+    assert out.min() >= 0 and out.max() < 30       # 0-based, pad excluded
+    # ragged histories and >max_len histories both work
+    out2 = rec.recommend([list(range(20))], k=3)
+    assert out2.shape == (1, 3)
+
+
+def test_tiger_recommender_returns_catalog_items():
+    rng = np.random.default_rng(0)
+    model = Tiger(embedding_dim=16, attn_dim=32, dropout=0.0, num_heads=4,
+                  n_layers=2, num_item_embeddings=8, num_user_embeddings=50,
+                  sem_id_dim=3)
+    n_items = 20
+    sem_ids = rng.integers(0, 8, (n_items, 3)).astype(np.int32)
+    C = 3
+    dummy = dict(
+        user_ids=jnp.zeros((1,), jnp.int32),
+        sem_ids=jnp.zeros((1, C), jnp.int32),
+        token_type_ids=jnp.arange(C, dtype=jnp.int32)[None],
+        sem_ids_fut=jnp.zeros((1, C), jnp.int32),
+        token_type_ids_fut=jnp.arange(C, dtype=jnp.int32)[None],
+        seq_mask=jnp.ones((1, C), bool))
+    params = model.init({"params": jax.random.PRNGKey(0)}, **dummy)["params"]
+
+    rec = TigerRecommender(model, params, sem_ids, num_beams=8,
+                           max_seq_len=5)
+    results = rec.recommend([1, 2], [[0, 3, 5], [7, 2]], k=5)
+    assert len(results) == 2
+    for row in results:
+        assert len(row) <= 5
+        for item in row:
+            assert 0 <= item < n_items
+        assert len(set(row)) == len(row)  # no duplicate items
