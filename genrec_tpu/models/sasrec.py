@@ -112,32 +112,48 @@ class SASRec(nn.Module):
     dropout: float = 0.2
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, input_ids: jnp.ndarray,
-                 targets: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True) -> SASRecOutput:
-        B, L = input_ids.shape
-        item_emb = self.param(
+    def setup(self):
+        self.item_embedding = self.param(
             "item_embedding", nn.initializers.xavier_uniform(),
             (self.num_items + 1, self.embed_dim))
-        item_emb = item_emb.at[0].set(0.0)   # pad row pinned to zero
-        pos_emb = self.param(
+        self.position_embedding = self.param(
             "position_embedding", nn.initializers.xavier_uniform(),
             (self.max_seq_len, self.embed_dim))
+        self.blocks = [
+            SASRecBlock(self.embed_dim, self.num_heads, self.ffn_dim,
+                        self.dropout, dtype=self.dtype, name=f"block_{i}")
+            for i in range(self.num_blocks)]
+        self.final_norm = nn.LayerNorm(epsilon=1e-8, dtype=self.dtype,
+                                       name="final_norm")
+        self.emb_dropout = nn.Dropout(self.dropout)
 
+    def hidden(self, input_ids: jnp.ndarray, deterministic: bool = True):
+        """(B, L, D) final hidden states + the (zero-pad-row) item table.
+
+        Exposed so sharded eval can score ``hidden @ tableᵀ`` with the table
+        row-sharded (ops.sharded_topk) instead of materialising (B, L, V)."""
+        B, L = input_ids.shape
+        item_emb = self.item_embedding.at[0].set(0.0)   # pad row pinned
         mask = (input_ids != 0)[..., None].astype(self.dtype)   # (B, L, 1)
         x = jnp.take(item_emb, input_ids, axis=0).astype(self.dtype)
         x = x * (self.embed_dim ** 0.5)
-        x = x + pos_emb[None, :L].astype(self.dtype)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = x + self.position_embedding[None, :L].astype(self.dtype)
+        x = self.emb_dropout(x, deterministic=deterministic)
         x = x * mask
-        for i in range(self.num_blocks):
-            x = SASRecBlock(self.embed_dim, self.num_heads, self.ffn_dim,
-                            self.dropout, dtype=self.dtype,
-                            name=f"block_{i}")(x, mask, deterministic)
+        for blk in self.blocks:
+            x = blk(x, mask, deterministic)
             x = x * mask
-        x = nn.LayerNorm(epsilon=1e-8, dtype=self.dtype, name="final_norm")(x)
+        return self.final_norm(x), item_emb
 
+    def last_hidden(self, input_ids: jnp.ndarray,
+                    deterministic: bool = True) -> jnp.ndarray:
+        x, _ = self.hidden(input_ids, deterministic=deterministic)
+        return x[:, -1, :]
+
+    def __call__(self, input_ids: jnp.ndarray,
+                 targets: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> SASRecOutput:
+        x, item_emb = self.hidden(input_ids, deterministic=deterministic)
         logits = jnp.einsum("bld,vd->blv", x, item_emb.astype(self.dtype),
                             preferred_element_type=jnp.float32)
 

@@ -100,3 +100,31 @@ def test_model_sharded_tiger_step_runs():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sasrec_sharded_catalog_eval_matches_dense():
+    """last_hidden + sharded_topk == full-logits top-k (the sharded
+    full-catalog eval path for large vocabularies)."""
+    from genrec_tpu.models.sasrec import SASRec, predict_topk
+
+    model = SASRec(num_items=1023, max_seq_len=8, embed_dim=16, num_heads=2,
+                   num_blocks=1, ffn_dim=32, dropout=0.0)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 1024, (8, 8)), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids)["params"]
+
+    out = model.apply({"params": params}, ids)
+    dense_top = predict_topk(out.logits[:, -1, :], 10)
+
+    hidden = model.apply({"params": params}, ids,
+                         method=SASRec.last_hidden)
+    table = jnp.asarray(params["item_embedding"]).at[0].set(0.0)
+    mesh = make_mesh(data=4, model=2)
+    # mask pad id by scoring then dropping id 0 like predict_topk does:
+    # score against the table with pad row zeroed, ask for k+1 and drop 0s
+    vals, idx = sharded_topk(mesh, hidden, table, 11)
+    filtered = []
+    for row in np.asarray(idx):
+        filtered.append([i for i in row if i != 0][:10])
+    np.testing.assert_array_equal(np.asarray(filtered),
+                                  np.asarray(dense_top))
