@@ -176,25 +176,40 @@ class LCRec:
                                 attention_mask=attention_mask, labels=labels)
 
     # -- constrained generation -------------------------------------------
-    def make_generate_topk(self, num_beams: int = 10):
+    def make_generate_topk(self, num_beams: int = 10,
+                           valid_item_ids=None):
         """jit-compiled constrained beam decode of C codebook tokens.
 
         The reference re-runs one HF forward per beam per step with a host
         callback filtering logits (lcrec.py:164-243); here each level's
         constraint is a static slice of the vocab and the whole search is
         one compiled program.
+
+        ``valid_item_ids``: optional (N, C) catalog code table. When given,
+        generation is additionally trie-constrained to *existing item
+        tuples* (stronger than the reference's per-level-positional
+        constraint — an extension, off by default for parity).
         """
         C, K = self.num_codebooks, num_beams
         ranges = [self.level_token_range(c) for c in range(C)]
         model = self.model
+        if valid_item_ids is not None:
+            from genrec_tpu.decoding.trie import ROOT, build_trie_tables
+            trie = build_trie_tables(valid_item_ids, self.codebook_size)
+            trie_children = jnp.asarray(trie.children)
+            trie_legal = jnp.asarray(trie.legal)
+        else:
+            trie_children = trie_legal = None
 
         @jax.jit
         def generate(params, input_ids, attention_mask):
+            from genrec_tpu.decoding.trie import ROOT
             B, L = input_ids.shape
             ids = jnp.repeat(input_ids, K, axis=0)       # (B*K, L)
             mask = jnp.repeat(attention_mask, K, axis=0)
             beam_tokens = jnp.zeros((B, K, C), jnp.int32)
             beam_logps = jnp.zeros((B, K), jnp.float32)
+            nodes = jnp.full((B, K), ROOT, jnp.int32)
 
             for c in range(C):
                 out = model.apply({"params": params}, ids,
@@ -202,6 +217,9 @@ class LCRec:
                 last = out.logits[:, -1, :]               # (B*K, V)
                 lo, hi = ranges[c]
                 level_logits = last[:, lo:hi]
+                if trie_legal is not None:
+                    legal = trie_legal[nodes.reshape(-1)]  # (B*K, K_codebook)
+                    level_logits = jnp.where(legal, level_logits, -1e32)
                 logp = jax.nn.log_softmax(level_logits, axis=-1)
                 logp = logp.reshape(B, K, -1)
                 if c == 0:
@@ -218,6 +236,8 @@ class LCRec:
                 beam_tokens = beam_tokens[batch_ix, parent]
                 beam_tokens = beam_tokens.at[:, :, c].set(tok)
                 beam_logps = scores
+                if trie_children is not None:
+                    nodes = trie_children[nodes[batch_ix, parent], tok]
                 # append chosen tokens to every beam's sequence
                 ids = ids.reshape(B, K, -1)[batch_ix, parent].reshape(
                     B * K, -1)

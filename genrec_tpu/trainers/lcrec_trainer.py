@@ -80,6 +80,7 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
           dataset_folder: str = "dataset/amazon", split: str = "beauty",
           pretrained_rqvae_path: str = "", sem_ids_table=None,
           max_seq_len: int = 20, num_beams: int = 10,
+          use_item_trie: bool = False,
           max_train_samples: int = 0, max_eval_samples: int = 0,
           do_eval: bool = True, eval_every_epoch: int = 1,
           eval_batch_size: int = 0, eval_only: bool = False,
@@ -218,7 +219,10 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
     engine = Engine(mesh, loss_fn, tx, params, rng=rng)
     mlogger = MetricLogger(save_dir_root, wandb_project, wandb_logging,
                            enabled=pidx == 0)
-    generate = model.make_generate_topk(num_beams=num_beams)
+    generate = model.make_generate_topk(
+        num_beams=num_beams,
+        valid_item_ids=sem_ids[:corpus.num_items]
+        if use_item_trie else None)
     acc = TopKAccumulator(ks=EVAL_KS)
 
     def evaluate() -> dict:
