@@ -12,15 +12,14 @@ fp32 params/optimizer), not an autocast context.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from genrec_tpu.parallel.mesh import (batch_sharding, replicated_sharding,
-                                      shard_batch)
+from genrec_tpu.parallel.mesh import replicated_sharding, shard_batch
 from .train_state import TrainState, apply_updates
 
 LossFn = Callable[..., Tuple[jax.Array, Dict[str, jax.Array]]]

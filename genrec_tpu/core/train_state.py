@@ -9,7 +9,7 @@ with optax transforms — all fused into the single jit-compiled update.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import optax

@@ -14,7 +14,7 @@ like the original TF implementation.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 
@@ -104,21 +104,26 @@ def tiger_batch(samples: Sequence[Sample], sem_ids: np.ndarray,
 
 
 def pad_batch_rows(batch, target_rows: int):
-    """Pad a NamedTuple batch to ``target_rows`` rows, marking them invalid."""
-    if batch.valid is not None and len(batch.valid) == target_rows:
+    """Pad a batch (NamedTuple or dict, with a ``valid`` row mask) to
+    ``target_rows`` rows, marking the padding rows invalid."""
+    is_dict = isinstance(batch, dict)
+    items = batch.items() if is_dict else zip(batch._fields, batch)
+    valid = batch["valid"] if is_dict else batch.valid
+    if valid is not None and len(valid) == target_rows:
         return batch
+
     def pad(arr):
         if arr is None:
             return None
         reps = np.zeros((target_rows - arr.shape[0],) + arr.shape[1:],
                         arr.dtype)
         return np.concatenate([arr, reps], axis=0)
+
     fields = {}
-    for name, arr in zip(batch._fields, batch):
+    for name, arr in items:
         if name == "valid":
-            v = arr if arr is not None else np.ones((len(batch[0]),), bool)
             fields[name] = np.concatenate(
-                [v, np.zeros((target_rows - v.shape[0],), bool)])
+                [arr, np.zeros((target_rows - arr.shape[0],), bool)])
         else:
             fields[name] = pad(arr)
-    return type(batch)(**fields)
+    return fields if is_dict else type(batch)(**fields)

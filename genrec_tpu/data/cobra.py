@@ -8,12 +8,12 @@ appends the target item to the input (``trainers/cobra_trainer.py:25-88``).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Sequence
 
 import numpy as np
 
 from genrec_tpu.configlib import gin
-from .sequences import Sample, SequenceCorpus
+from .sequences import Sample
 
 
 class CobraBatch(NamedTuple):

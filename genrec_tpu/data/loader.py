@@ -9,7 +9,7 @@ loads only its shard of every batch, and the incomplete final batch is padded
 
 from __future__ import annotations
 
-from typing import Callable, Iterator, List, Optional, Sequence
+from typing import Callable, Iterator, List, Sequence
 
 import numpy as np
 
@@ -60,7 +60,13 @@ class Loader:
             if len(local) == 0:
                 local = idx[:1]  # degenerate tail: keep shapes, mark invalid
                 batch = self.batch_fn([self.samples[i] for i in local])
-                batch = batch._replace(valid=np.zeros_like(batch.valid))
+                invalid = np.zeros_like(
+                    batch["valid"] if isinstance(batch, dict)
+                    else batch.valid)
+                if isinstance(batch, dict):
+                    batch = {**batch, "valid": invalid}
+                else:
+                    batch = batch._replace(valid=invalid)
             else:
                 batch = self.batch_fn([self.samples[i] for i in local])
             yield pad_batch_rows(batch, lbs)

@@ -10,7 +10,7 @@ bucket count. One corpus feeds every model family.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
 

@@ -103,9 +103,8 @@ def beam_search(
         if sample:
             if rng is None:
                 raise ValueError("sample=True requires rng")
-            g = -jnp.log(-jnp.log(
-                jax.random.uniform(jax.random.fold_in(rng, step),
-                                   logp.shape) + 1e-20) + 1e-20)
+            from genrec_tpu.ops.gumbel import sample_gumbel
+            g = sample_gumbel(jax.random.fold_in(rng, step), logp.shape)
             perturbed = logp + g                              # Gumbel top-k ==
             _, cand_tok = jax.lax.top_k(perturbed, KK)        # sampling w/o repl.
         else:

@@ -23,7 +23,7 @@ program (C is 3). Beam expansion is pure top-k; no host loops.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

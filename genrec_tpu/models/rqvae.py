@@ -21,7 +21,7 @@ fp32 is stable at eps=0.003 with the reference's cost normalization).
 from __future__ import annotations
 
 import enum
-from typing import List, NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

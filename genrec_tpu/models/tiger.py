@@ -27,7 +27,7 @@ import numpy as np
 from flax import linen as nn
 
 from genrec_tpu.configlib import gin
-from genrec_tpu.decoding.beam import BeamSearchOutput, beam_search
+from genrec_tpu.decoding.beam import beam_search
 from genrec_tpu.decoding.trie import TrieTables, build_trie_tables
 from genrec_tpu.nn import (RMSNorm, SemIdEmbedding, TransformerEncoderDecoder,
                            UserIdEmbedding)

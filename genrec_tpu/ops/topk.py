@@ -12,8 +12,6 @@ the exact global top-k — communicating ``m·k`` candidates per row instead of
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

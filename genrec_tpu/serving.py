@@ -15,6 +15,8 @@ across requests.
 
 from __future__ import annotations
 
+from functools import partial
+
 from typing import List, Optional, Sequence
 
 import jax
@@ -42,8 +44,6 @@ class SASRecRecommender:
         self.model = model
         self.params = params
         self.max_seq_len = max_seq_len or model.max_seq_len
-
-        from functools import partial
 
         @partial(jax.jit, static_argnums=(2,))
         def _recommend(params, ids, k):
@@ -77,8 +77,6 @@ class HSTURecommender(SASRecRecommender):
         self.model = model
         self.params = params
         self.max_seq_len = max_seq_len or model.max_seq_len
-
-        from functools import partial
 
         @partial(jax.jit, static_argnums=(3,))
         def _recommend(params, ids, ts, k):

@@ -27,7 +27,7 @@ from genrec_tpu.data.cobra import (amazon_item_tokens, cobra_batch,
                                    synthetic_item_tokens)
 from genrec_tpu.models.cobra import Cobra, beam_fusion
 from genrec_tpu.ops import TopKAccumulator, topk_metric_sums
-from genrec_tpu.parallel import make_mesh, shard_batch
+from genrec_tpu.parallel import make_mesh
 
 EVAL_KS = (1, 5, 10)
 
@@ -39,14 +39,8 @@ def compute_item_dense_vecs(model, params, item_tokens: np.ndarray,
     def enc(p, toks):
         return model.apply({"params": p}, toks, method=Cobra.generate_itemvec)
 
-    N = len(item_tokens)
-    pad = (-N) % batch_size
-    padded = np.concatenate([
-        item_tokens, np.zeros((pad,) + item_tokens.shape[1:],
-                              item_tokens.dtype)]) if pad else item_tokens
-    outs = [np.asarray(enc(params, jnp.asarray(padded[i:i + batch_size])))
-            for i in range(0, len(padded), batch_size)]
-    return np.concatenate(outs)[:N]
+    from genrec_tpu.ops.batched import batched_apply
+    return batched_apply(lambda t: enc(params, t), item_tokens, batch_size)
 
 
 @gin.configurable

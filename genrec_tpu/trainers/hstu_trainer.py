@@ -30,12 +30,7 @@ from genrec_tpu.trainers.sasrec_trainer import _load_corpus
 EVAL_KS = (1, 5, 10)
 
 
-def evaluate(model, params, loader, mesh, eval_step) -> dict:
-    acc = TopKAccumulator(ks=EVAL_KS)
-    for batch in loader:
-        sums = eval_step(params, shard_batch(batch, mesh))
-        acc.update_sums({k: float(np.asarray(v)) for k, v in sums.items()})
-    return acc.reduce()
+from genrec_tpu.trainers.sasrec_trainer import evaluate  # shared eval loop
 
 
 @gin.configurable

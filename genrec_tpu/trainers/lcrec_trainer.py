@@ -18,7 +18,6 @@ import os
 from typing import List
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from genrec_tpu.configlib import gin, parse_config
@@ -159,11 +158,6 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     logger.info("model params: %.2fM", n_params / 1e6)
 
-    from genrec_tpu.data import Loader
-
-    class _DictBatch(dict):
-        pass
-
     def batch_fn_train(samples):
         return sft_collate(model, samples, max_len)
 
@@ -171,30 +165,12 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
     def batch_fn_eval(samples):
         return eval_collate(model, samples, eval_len)
 
-    def pad_rows(batch, n):
-        cur = len(batch["valid"])
-        if cur == n:
-            return batch
-        out = {}
-        for k, v in batch.items():
-            pad_shape = (n - cur,) + v.shape[1:]
-            fill = np.zeros(pad_shape, v.dtype)
-            out[k] = np.concatenate([v, fill])
-        out["valid"][cur:] = False
-        return out
-
     pidx, pcnt = jax.process_index(), jax.process_count()
 
     def iter_batches(samples, bs, batch_fn, shuffle, seed_):
-        order = np.arange(len(samples))
-        if shuffle:
-            np.random.default_rng(seed_).shuffle(order)
-        lbs = bs // pcnt
-        for start in range(0, len(order), bs):
-            idx = order[start:start + bs][pidx::pcnt][:lbs]
-            if len(idx) == 0:
-                continue
-            yield pad_rows(batch_fn([samples[i] for i in idx]), lbs)
+        from genrec_tpu.data import Loader
+        return Loader(samples, bs, batch_fn, shuffle=shuffle, seed=seed_,
+                      process_index=pidx, process_count=pcnt)
 
     total_steps = epochs * max(len(train_samples) // batch_size, 1)
     schedule = make_schedule(name="cosine_warmup",

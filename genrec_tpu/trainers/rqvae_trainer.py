@@ -18,8 +18,6 @@ Run: ``python -m genrec_tpu.trainers.rqvae_trainer config/tiger/amazon/rqvae.gin
 from __future__ import annotations
 
 import os
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,7 +28,7 @@ from genrec_tpu.core import (CheckpointManager, Engine, MetricLogger,
                              save_rqvae_artifact, setup_logger)
 from genrec_tpu.models.rqvae import (QuantizeForwardMode, RqVae,
                                      kmeans_init_params)
-from genrec_tpu.parallel import make_mesh, shard_batch
+from genrec_tpu.parallel import make_mesh
 
 
 def compute_semantic_ids(model: RqVae, params, embeddings: np.ndarray,
@@ -41,14 +39,9 @@ def compute_semantic_ids(model: RqVae, params, embeddings: np.ndarray,
         return model.apply({"params": p}, x, method=RqVae.get_semantic_ids,
                            train=False).sem_ids
 
-    N = len(embeddings)
-    pad = (-N) % batch_size
-    padded = np.concatenate([embeddings,
-                             np.zeros((pad,) + embeddings.shape[1:],
-                                      embeddings.dtype)]) if pad else embeddings
-    chunks = [np.asarray(encode(params, jnp.asarray(padded[i:i + batch_size])))
-              for i in range(0, len(padded), batch_size)]
-    return np.concatenate(chunks)[:N].astype(np.int32)
+    from genrec_tpu.ops.batched import batched_apply
+    return batched_apply(lambda x: encode(params, x), embeddings,
+                         batch_size).astype(np.int32)
 
 
 def compute_collision_rate(sem_ids: np.ndarray) -> float:
