@@ -88,6 +88,54 @@ def bench_tiger(batch_size: int, steps: int, warmup: int, small: bool,
     return B * steps / dt, float(np.asarray(loss))
 
 
+def bench_generate(batch_size: int, steps: int, warmup: int, small: bool,
+                   num_beams: int = 10):
+    """Trie-constrained generation throughput (the reference's dominant eval
+    cost: host-side Python trie walk per beam per step; here fully compiled)."""
+    import jax
+    import jax.numpy as jnp
+    from genrec_tpu.models.tiger import Tiger, build_trie, make_generate_fn
+
+    if small:
+        model = Tiger(embedding_dim=64, attn_dim=96, dropout=0.0,
+                      num_heads=4, n_layers=2, num_item_embeddings=64,
+                      num_user_embeddings=10000, sem_id_dim=3)
+        n_items = 2000
+    else:
+        model = Tiger(embedding_dim=128, attn_dim=384, dropout=0.0,
+                      num_heads=6, n_layers=8, num_item_embeddings=256,
+                      num_user_embeddings=10000, sem_id_dim=3)
+        n_items = 20000
+    L, C, K = 20, model.sem_id_dim, model.num_item_embeddings
+    rng = np.random.default_rng(0)
+    B = batch_size
+    batch = dict(
+        user_ids=jnp.asarray(rng.integers(0, 10000, B), jnp.int32),
+        sem_ids=jnp.asarray(rng.integers(0, K, (B, L * C)), jnp.int32),
+        token_type_ids=jnp.asarray(np.tile(np.arange(C), (B, L)), jnp.int32),
+        sem_ids_fut=jnp.asarray(rng.integers(0, K, (B, C)), jnp.int32),
+        token_type_ids_fut=jnp.asarray(np.tile(np.arange(C), (B, 1)),
+                                       jnp.int32),
+        seq_mask=jnp.ones((B, L * C), bool))
+    params = model.init({"params": jax.random.PRNGKey(0)}, **batch)["params"]
+    valid = np.unique(rng.integers(0, K, (n_items, C)), axis=0)
+    trie = build_trie(valid, K)
+    gen = make_generate_fn(model, trie, num_beams=num_beams)
+    key = jax.random.PRNGKey(1)
+    args = (params, batch["user_ids"], batch["sem_ids"],
+            batch["token_type_ids"], batch["seq_mask"])
+    for _ in range(warmup):
+        out = gen(*args, key)
+    out.sem_ids.block_until_ready()
+    import time
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = gen(*args, key)
+    out.sem_ids.block_until_ready()
+    dt = time.perf_counter() - t0
+    return B * steps / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
@@ -101,6 +149,8 @@ def main():
                     choices=["float32", "bfloat16"])
     ap.add_argument("--scaling", action="store_true",
                     help="measure DP scaling efficiency 1 chip -> all chips")
+    ap.add_argument("--generate", action="store_true",
+                    help="measure trie-constrained generation throughput")
     args = ap.parse_args()
 
     import jax
@@ -108,6 +158,16 @@ def main():
     steps = args.steps or (5 if args.smoke else 30)
     batch = args.batch or (32 if args.smoke else 256)
     warmup = 2 if args.smoke else 5
+
+    if args.generate:
+        ups = bench_generate(batch, steps, warmup, small=args.smoke)
+        print(json.dumps({
+            "metric": "tiger_constrained_generation_users_per_sec_per_chip",
+            "value": round(ups / max(n_chips, 1), 2),
+            "unit": "users/sec/chip (beam 10, trie-constrained)",
+            "vs_baseline": 1.0,
+        }))
+        return
 
     if args.scaling and n_chips > 1:
         eps1, _ = bench_tiger(batch, steps, warmup, small=args.smoke,
