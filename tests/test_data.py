@@ -148,3 +148,19 @@ def test_sem_batch_user_padding_rows():
     padded = pad_batch_rows(b, 4)
     assert padded.ids.shape == (4, 3)
     np.testing.assert_array_equal(padded.valid, [1, 0, 0, 0])
+
+
+def test_loader_supports_dict_batches():
+    from genrec_tpu.data import Loader
+    samples = list(range(10))
+
+    def batch_fn(chunk):
+        arr = np.asarray(chunk, np.int32)
+        return {"x": arr, "valid": np.ones((len(arr),), bool)}
+
+    loader = Loader(samples, 4, batch_fn, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["x"].shape == (4,)
+    np.testing.assert_array_equal(batches[-1]["valid"], [1, 1, 0, 0])
