@@ -77,15 +77,19 @@ def bench_tiger(batch_size: int, steps: int, warmup: int, small: bool,
     for i in range(warmup):
         key, k = jax.random.split(key)
         state, loss = step(state, batch, k)
-    loss.block_until_ready()
+    # force a real value fetch: on the axon platform block_until_ready
+    # returns once the execution is *enqueued* (the dispatch queue absorbs
+    # ~30 launches), so only a host transfer proves the chain completed —
+    # and the first transfer also compiles the transfer program.
+    float(np.asarray(loss))
 
     t0 = time.perf_counter()
     for i in range(steps):
         key, k = jax.random.split(key)
         state, loss = step(state, batch, k)
-    loss.block_until_ready()
+    final_loss = float(np.asarray(loss))
     dt = time.perf_counter() - t0
-    return B * steps / dt, float(np.asarray(loss))
+    return B * steps / dt, final_loss
 
 
 def bench_generate(batch_size: int, steps: int, warmup: int, small: bool,
@@ -126,12 +130,12 @@ def bench_generate(batch_size: int, steps: int, warmup: int, small: bool,
             batch["token_type_ids"], batch["seq_mask"])
     for _ in range(warmup):
         out = gen(*args, key)
-    out.sem_ids.block_until_ready()
+    np.asarray(out.sem_ids)   # real fetch (see bench_tiger comment)
     import time
     t0 = time.perf_counter()
     for _ in range(steps):
         out = gen(*args, key)
-    out.sem_ids.block_until_ready()
+    np.asarray(out.sem_ids)
     dt = time.perf_counter() - t0
     return B * steps / dt
 
@@ -142,10 +146,7 @@ def main():
                     help="small model + few steps (CPU-friendly validation)")
     ap.add_argument("--steps", type=int, default=0)
     ap.add_argument("--batch", type=int, default=0)
-    # float32 default: on the axon v5e tunnel the bf16 model path currently
-    # measures ~20x slower than fp32 despite raw bf16 matmuls being 2x
-    # faster — under investigation (suspected layout/conversion pathology).
-    ap.add_argument("--dtype", default="float32",
+    ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--scaling", action="store_true",
                     help="measure DP scaling efficiency 1 chip -> all chips")
@@ -155,7 +156,7 @@ def main():
 
     import jax
     n_chips = jax.device_count()
-    steps = args.steps or (5 if args.smoke else 30)
+    steps = args.steps or (5 if args.smoke else 100)
     batch = args.batch or (32 if args.smoke else 256)
     warmup = 2 if args.smoke else 5
 
