@@ -155,6 +155,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from genrec_tpu.core.rng import configure_fast_rng
+    configure_fast_rng()
     n_chips = jax.device_count()
     steps = args.steps or (5 if args.smoke else 100)
     batch = args.batch or (32 if args.smoke else 256)

@@ -107,8 +107,11 @@ class T5Attention(nn.Module):
             return x.reshape(b, l, self.n_heads, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = map(split_heads, (q, k, v))
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
+        # bf16 inputs accumulate in fp32 on the MXU regardless; forcing an
+        # fp32 *output* (preferred_element_type) would also push the backward
+        # matmuls to fp32 rate. Compute in the model dtype, then upcast for
+        # the softmax.
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
         scores = scores * (1.0 / math.sqrt(head_dim))
 
         if self.has_relative_bias and not self.is_cross_attention:
@@ -125,8 +128,7 @@ class T5Attention(nn.Module):
 
         attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         b = out.shape[0]
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.d_model)
         return dense(self.d_model, "o")(out)

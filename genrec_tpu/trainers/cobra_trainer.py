@@ -61,10 +61,12 @@ def train(epochs: int = 10, learning_rate: float = 1e-4,
           eval_batch_size: int = 0,
           save_dir_root: str = "out/cobra", save_every_epoch: int = 50,
           wandb_logging: bool = False, wandb_project: str = "",
-          wandb_log_interval: int = 50, seed: int = 42,
+          wandb_log_interval: int = 50, seed: int = 42, fast_rng: bool = True,
           resume_from_checkpoint: bool = False,
           max_steps_per_epoch: int = 0, sem_ids_table=None, **unused) -> dict:
     logger = setup_logger("cobra", save_dir_root)
+    from genrec_tpu.core.rng import configure_fast_rng
+    configure_fast_rng(fast_rng)
     mesh = make_mesh()
 
     if dataset_type == "synthetic":

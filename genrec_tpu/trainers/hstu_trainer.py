@@ -48,9 +48,11 @@ def train(epochs: int = 10, batch_size: int = 128,
           wandb_logging: bool = False, wandb_project: str = "",
           wandb_log_interval: int = 100,
           amp: bool = True, mixed_precision_type: str = "bf16",
-          seed: int = 42, shard_params: bool = False,
+          seed: int = 42, fast_rng: bool = True, shard_params: bool = False,
           resume_from_checkpoint: bool = False, max_steps_per_epoch: int = 0, **unused) -> dict:
     logger = setup_logger("hstu", save_dir_root)
+    from genrec_tpu.core.rng import configure_fast_rng
+    configure_fast_rng(fast_rng)
     mesh = make_mesh()
 
     corpus = _load_corpus(dataset_type, dataset_folder, split)

@@ -80,11 +80,13 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
           eval_test_every_epoch: int = 10, eval_batch_size: int = 0,
           save_every_epoch: int = 50, save_dir_root: str = "out/tiger",
           wandb_logging: bool = False, wandb_project: str = "",
-          wandb_log_interval: int = 100, seed: int = 42, shard_params: bool = False,
+          wandb_log_interval: int = 100, seed: int = 42, fast_rng: bool = True, shard_params: bool = False,
           resume_from_checkpoint: bool = False,
           max_steps_per_epoch: int = 0, sem_ids_table=None,
           dataset=None, **unused) -> dict:
     logger = setup_logger("tiger", save_dir_root)
+    from genrec_tpu.core.rng import configure_fast_rng
+    configure_fast_rng(fast_rng)
     mesh = make_mesh()
 
     # --- semantic-ID table (the RQ-VAE artifact contract) ---
