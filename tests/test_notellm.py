@@ -78,3 +78,25 @@ def test_contrastive_training_improves_retrieval():
     emb = np.asarray(out.embeddings)
     m = compute_metrics(emb[0::2], emb[1::2], ks=(1,))
     assert m["acc@1"] >= 0.5  # pairs should retrieve each other after training
+
+
+def test_notellm_trainer_e2e(tmp_path):
+    from genrec_tpu.configlib import gin
+    from genrec_tpu.trainers.notellm_trainer import train
+    gin.parse_config("""
+        train.steps = 30
+        train.batch_pairs = 16
+        train.vocab_size = 500
+        train.seq_len = 16
+        train.d_model = 32
+        train.n_layers = 1
+        train.n_heads = 4
+        train.n_kv_heads = 2
+        train.ff_dim = 64
+        train.eval_pairs = 32
+        train.eval_every = 30
+        train.wandb_logging = False
+    """)
+    gin.bind_parameter("train.save_dir_root", str(tmp_path))
+    m = train()
+    assert "acc@10" in m and 0.0 <= m["acc@10"] <= 1.0
