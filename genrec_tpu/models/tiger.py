@@ -36,6 +36,7 @@ from genrec_tpu.nn import (RMSNorm, SemIdEmbedding, TransformerEncoderDecoder,
 class TigerOutput(NamedTuple):
     logits: jnp.ndarray
     loss: Optional[jnp.ndarray]
+    per_digit_loss: Optional[jnp.ndarray] = None  # (B, C) CE per target digit
 
 
 @gin.configurable
@@ -119,14 +120,17 @@ class Tiger(nn.Module):
         loss_logits = logits[:, :-1, :]
 
         loss = None
+        per_digit_loss = None
         if sem_ids_fut.shape[1] == self.sem_id_dim:
             target_vocab = (token_type_ids_fut * self.num_item_embeddings
                             + sem_ids_fut)
             logp = jax.nn.log_softmax(loss_logits, axis=-1)
             tgt_logp = jnp.take_along_axis(
                 logp, target_vocab[..., None], axis=-1)[..., 0]
-            loss = jnp.mean(jnp.sum(-tgt_logp, axis=1))
-        return TigerOutput(logits=logits, loss=loss)
+            per_digit_loss = -tgt_logp                       # (B, C)
+            loss = jnp.mean(jnp.sum(per_digit_loss, axis=1))
+        return TigerOutput(logits=logits, loss=loss,
+                           per_digit_loss=per_digit_loss)
 
     def encode_context(self, user_ids, sem_ids, token_type_ids, seq_mask):
         enc_in, pad = self._embed_context(user_ids, sem_ids, token_type_ids,

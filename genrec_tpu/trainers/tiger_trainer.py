@@ -165,7 +165,12 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
                           batch.token_type_ids, batch.sem_ids_fut,
                           batch.token_type_ids_fut, batch.seq_mask,
                           deterministic=False, rngs={"dropout": rng})
-        return out.loss, {}
+        # seq-length quantiles + per-digit loss (reference
+        # modules/utils.py:101-137 compute_debug_metrics)
+        from genrec_tpu.ops.debug import compute_debug_metrics
+        dbg = compute_debug_metrics(batch.seq_mask, out.per_digit_loss,
+                                    sem_id_dim)
+        return out.loss, dbg
 
     engine = Engine(mesh, loss_fn, tx, params, rng=rng,
                     shard_params=shard_params)
