@@ -85,14 +85,14 @@ class CobraDecoderBlock(nn.Module):
                           v, preferred_element_type=jnp.float32)
         attn = attn.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, L, D)
         attn = nn.Dense(D, dtype=self.dtype, name="attn_out")(attn)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
             x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         ).astype(self.dtype)
         h = nn.Dense(self.ff_dim, dtype=self.dtype, name="ff1")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(D, dtype=self.dtype, name="ff2")(h)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
             x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         ).astype(self.dtype)
 

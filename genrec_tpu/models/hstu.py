@@ -85,7 +85,12 @@ class HSTULayer(nn.Module):
                                nn.initializers.normal(stddev=1.0),
                                (self.num_position_buckets, H))
         pos = jnp.arange(L)
-        buckets = _position_bucket(pos[:, None] - pos[None, :],
+        # Reference orientation quirk (hstu.py:380-384): the code computes
+        # key_pos - query_pos (its comment claims the opposite) and then
+        # clamps at 0, so the causal region lands in bucket 0. The published
+        # numbers were produced with this behavior, so it is replicated
+        # verbatim; interop parity depends on it (tests/test_interop.py).
+        buckets = _position_bucket(pos[None, :] - pos[:, None],
                                    self.num_position_buckets,
                                    self.max_position_distance)   # (L, L)
         pos_bias = jnp.take(pos_table, buckets, axis=0)           # (L, L, H)
@@ -109,13 +114,14 @@ class HSTULayer(nn.Module):
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
 
-        out = nn.LayerNorm(dtype=jnp.float32, name="attn_norm")(out)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                           name="attn_norm")(out)
         out = (out * u).astype(self.dtype)
         x = residual + nn.Dropout(self.dropout)(out,
                                                 deterministic=deterministic)
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="ffn_norm")(x).astype(
-            self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                         name="ffn_norm")(x).astype(self.dtype)
         h = nn.Dense(4 * D, dtype=self.dtype, name="ffn_in")(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -159,8 +165,8 @@ class HSTU(nn.Module):
                 use_temporal_bias=self.use_temporal_bias,
                 dtype=self.dtype, name=f"layer_{i}")(
                     x, padding_mask, timestamps, deterministic)
-        x = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x).astype(
-            self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                         name="final_norm")(x).astype(self.dtype)
 
         logits = jnp.einsum("bld,vd->blv", x, item_emb.astype(self.dtype),
                             preferred_element_type=jnp.float32)

@@ -46,13 +46,13 @@ class _EncoderBlock(nn.Module):
                           preferred_element_type=jnp.float32)
         attn = attn.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, L, D)
         attn = nn.Dense(D, dtype=self.dtype, name="attn_out")(attn)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + nn.Dropout(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x + nn.Dropout(
             self.dropout)(attn, deterministic=deterministic)).astype(self.dtype)
         h = nn.Dense(self.ff_dim, dtype=self.dtype, name="ff1")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(D, dtype=self.dtype, name="ff2")(h)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
             x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         ).astype(self.dtype)
 
@@ -90,7 +90,7 @@ class LightTextEncoder(nn.Module):
             x = _EncoderBlock(self.hidden_dim, self.num_heads, self.ff_dim,
                               self.dropout, dtype=self.dtype,
                               name=f"layer_{i}")(x, pad, deterministic)
-        x = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x).astype(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_norm")(x).astype(
             self.dtype)
         keep = jnp.logical_not(pad)[..., None].astype(x.dtype)
         pooled = (x * keep).sum(axis=1) / jnp.maximum(
