@@ -109,3 +109,86 @@ def convert_hstu_state_dict(sd: Dict) -> dict:
             layer["temporal_bias"] = _a(sd[tkey])
         params[f"layer_{i}"] = layer
     return params
+
+
+def convert_rqvae_state_dict(sd: Dict) -> dict:
+    """Reference ``RqVae.state_dict()`` → genrec_tpu RqVae params.
+
+    The reference MLP is a ``nn.Sequential`` (Linear/SiLU/...), so kernels
+    live at ``encoder.mlp.<idx>.weight`` for ascending Linear indices.
+    """
+    sd = _to_numpy(sd)
+
+    def mlp(prefix):
+        idxs = sorted(int(k.split(".")[2]) for k in sd
+                      if k.startswith(prefix + ".mlp.")
+                      and k.endswith(".weight"))
+        return {f"dense_{i}": {"kernel": _t(sd[f"{prefix}.mlp.{j}.weight"])}
+                for i, j in enumerate(idxs)}
+
+    params = {"encoder": mlp("encoder"), "decoder": mlp("decoder")}
+    n_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                       if k.startswith("layers.") and "embedding" in k)
+    for i in range(n_layers):
+        params[f"layer_{i}"] = {
+            "embedding": _a(sd[f"layers.{i}.embedding.weight"])}
+    return params
+
+
+def convert_tiger_state_dict(sd: Dict) -> dict:
+    """Reference ``Tiger.state_dict()`` → genrec_tpu Tiger params.
+
+    The reference's unused positional tables (``pos_embedding``,
+    ``decoder_pos_embedding`` — disabled in its forward, tiger.py:172-179)
+    are dropped.
+    """
+    sd = _to_numpy(sd)
+
+    def block(side, i):
+        p = f"transformer.{side}.layers.{i}."
+        out = {
+            "norm1": {"weight": _a(sd[p + "norm1.weight"])},
+            "norm2": {"weight": _a(sd[p + "norm2.weight"])},
+            "self_attn": {
+                "q": {"kernel": _t(sd[p + "self_attn.attn.q.weight"])},
+                "kv": {"kernel": _t(sd[p + "self_attn.attn.kv.weight"])},
+                "o": {"kernel": _t(sd[p + "self_attn.attn.o.weight"])},
+                "rel_bias": _a(sd[p + "self_attn.attn.rel_bias.weight"]),
+            },
+            "ff": {"wi": {"kernel": _t(sd[p + "ff.wi.weight"])},
+                   "wo": {"kernel": _t(sd[p + "ff.wo.weight"])}},
+        }
+        if p + "cross_attn.attn.q.weight" in sd:
+            out["norm_cross"] = {
+                "weight": _a(sd[p + "norm_cross.weight"])}
+            out["cross_attn_layer"] = {
+                "q": {"kernel": _t(sd[p + "cross_attn.attn.q.weight"])},
+                "k": {"kernel": _t(sd[p + "cross_attn.attn.k.weight"])},
+                "v": {"kernel": _t(sd[p + "cross_attn.attn.v.weight"])},
+                "o": {"kernel": _t(sd[p + "cross_attn.attn.o.weight"])},
+            }
+        return out
+
+    def depth(side):
+        return 1 + max(int(k.split(".")[3]) for k in sd
+                       if k.startswith(f"transformer.{side}.layers."))
+
+    params = {
+        "bos_embedding": _a(sd["bos_embedding"]),
+        "norm": {"weight": _a(sd["norm.weight"])},
+        "norm_context": {"weight": _a(sd["norm_context.weight"])},
+        "sem_id_embedding": {
+            "embedding": _a(sd["sem_id_embedding.emb.weight"])},
+        "user_id_embedding": {
+            "embedding": _a(sd["user_id_embedding.emb.weight"])},
+        "in_proj": {"kernel": _t(sd["in_proj.weight"])},
+        "in_proj_context": {"kernel": _t(sd["in_proj_context.weight"])},
+        "output_head": {"kernel": _t(sd["output_head.weight"])},
+        "transformer": {
+            "encoder": {f"layer_{i}": block("encoder", i)
+                        for i in range(depth("encoder"))},
+            "decoder": {f"layer_{i}": block("decoder", i)
+                        for i in range(depth("decoder"))},
+        },
+    }
+    return params

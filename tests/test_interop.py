@@ -95,3 +95,104 @@ def test_hstu_logits_match_reference():
                       timestamps=jnp.asarray(ts, jnp.int32))
     np.testing.assert_allclose(np.asarray(out.logits),
                                ref_logits.numpy(), atol=3e-4, rtol=1e-3)
+
+
+def _install_reference_package():
+    """Make ``import genrec.models.rqvae`` resolve against the read-only
+    reference tree, with a stub ``gin`` module (gin-config is not installed).
+    Test-scaffolding only — no reference code is copied."""
+    import sys
+    import types
+
+    if "gin" not in sys.modules:
+        gin_stub = types.ModuleType("gin")
+
+        def configurable(fn=None, **kw):
+            return fn if fn is not None else (lambda f: f)
+
+        gin_stub.configurable = configurable
+        gin_stub.constants_from_enum = configurable
+        gin_stub.REQUIRED = object()
+        sys.modules["gin"] = gin_stub
+
+    base = os.path.dirname(REF)
+    for pkg, path in [("genrec", base),
+                      ("genrec.modules", os.path.join(base, "modules")),
+                      ("genrec.models", os.path.join(base, "models"))]:
+        if pkg not in sys.modules:
+            m = types.ModuleType(pkg)
+            m.__path__ = [path]
+            sys.modules[pkg] = m
+
+
+def test_rqvae_semantic_ids_match_reference():
+    from genrec_tpu.interop import convert_rqvae_state_dict
+    from genrec_tpu.models.rqvae import RqVae
+
+    _install_reference_package()
+    from genrec.models import rqvae as ref
+
+    torch.manual_seed(3)
+    rm = ref.RqVae(input_dim=24, embed_dim=8, hidden_dims=[16],
+                   codebook_size=12, codebook_kmeans_init=False,
+                   n_layers=3, n_cat_features=0)
+    rm.eval()
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(16, 24)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = rm.get_semantic_ids(torch.as_tensor(x))
+
+    model = RqVae(input_dim=24, embed_dim=8, hidden_dims=(16,),
+                  codebook_size=12, n_layers=3, n_cat_features=0)
+    params = convert_rqvae_state_dict(rm.state_dict())
+    out = model.apply({"params": params}, jnp.asarray(x),
+                      method=RqVae.get_semantic_ids, train=False)
+
+    np.testing.assert_array_equal(np.asarray(out.sem_ids),
+                                  ref_out.sem_ids.numpy())
+    np.testing.assert_allclose(np.asarray(out.quantize_loss),
+                               ref_out.quantize_loss.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tiger_forward_matches_reference():
+    from genrec_tpu.interop import convert_tiger_state_dict
+    from genrec_tpu.models.tiger import Tiger
+
+    _install_reference_package()
+    from genrec.models import tiger as ref
+
+    torch.manual_seed(4)
+    rm = ref.Tiger(embedding_dim=16, attn_dim=32, dropout=0.0, num_heads=4,
+                   n_layers=4, num_item_embeddings=8,
+                   num_user_embeddings=20, sem_id_dim=3)
+    rm.eval()
+    rng = np.random.default_rng(4)
+    B, L, C = 3, 4, 3
+    user = rng.integers(0, 100, B).astype(np.int64)
+    items = rng.integers(0, 8, (B, L * C)).astype(np.int64)
+    types = np.tile(np.arange(C), (B, L)).astype(np.int64)
+    tgt = rng.integers(0, 8, (B, C)).astype(np.int64)
+    tgt_types = np.tile(np.arange(C), (B, 1)).astype(np.int64)
+    mask = np.ones((B, L * C), np.int64)
+    mask[0, -3:] = 0
+    with torch.no_grad():
+        ref_out = rm(torch.as_tensor(user)[:, None], torch.as_tensor(items),
+                     torch.as_tensor(types), torch.as_tensor(tgt),
+                     torch.as_tensor(tgt_types), torch.as_tensor(mask))
+
+    model = Tiger(embedding_dim=16, attn_dim=32, dropout=0.0, num_heads=4,
+                  n_layers=4, num_item_embeddings=8, num_user_embeddings=20,
+                  sem_id_dim=3)
+    params = convert_tiger_state_dict(rm.state_dict())
+    out = model.apply({"params": params}, jnp.asarray(user, jnp.int32),
+                      jnp.asarray(items, jnp.int32),
+                      jnp.asarray(types, jnp.int32),
+                      jnp.asarray(tgt, jnp.int32),
+                      jnp.asarray(tgt_types, jnp.int32),
+                      jnp.asarray(mask, bool))
+
+    np.testing.assert_allclose(np.asarray(out.logits),
+                               ref_out.logits.numpy(), atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(float(out.loss), float(ref_out.loss),
+                               rtol=1e-4)
