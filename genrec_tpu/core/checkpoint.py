@@ -43,7 +43,7 @@ class CheckpointManager:
     def save(self, step: int, state: Any,
              config: Optional[Dict] = None) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
-        if config is not None:
+        if config is not None and jax.process_index() == 0:
             with open(os.path.join(self.directory, "config.json"), "w") as f:
                 json.dump(config, f, indent=2, default=str)
         self._mgr.wait_until_finished()

@@ -104,7 +104,19 @@ class Engine:
             from genrec_tpu.parallel.sharding import (apply_shardings,
                                                       param_shardings)
             params = apply_shardings(params, param_shardings(mesh, params))
-            self.state = TrainState.create(params, tx)
+            state = TrainState.create(params, tx)
+            # tx.init outputs inherit param shardings (mu/nu are computed
+            # from the already-placed params), but fresh scalars (step,
+            # optimizer counts) land on one device — replicate them so the
+            # jitted step sees a single consistent device set.
+            rep = replicated_sharding(mesh)
+
+            def place(x):
+                if isinstance(x, jax.Array) and len(x.devices()) != mesh.size:
+                    return jax.device_put(x, rep)
+                return x
+
+            self.state = jax.tree_util.tree_map(place, state)
         else:
             self.state = jax.device_put(TrainState.create(params, tx),
                                         replicated_sharding(mesh))
@@ -127,17 +139,32 @@ class Engine:
     def save(self, ckpt_manager, config: Optional[dict] = None) -> None:
         """Checkpoint the FULL train state (params + optimizer + step) —
         the reference's ``{epoch, model, optimizer, scheduler}`` contract
-        (rqvae_trainer.py:313-324)."""
-        host_state = jax.tree_util.tree_map(np.asarray, self.state)
-        ckpt_manager.save(self.step, host_state, config=config)
+        (rqvae_trainer.py:313-324).
+
+        The live (possibly model-sharded) ``jax.Array`` state is handed to
+        orbax directly: each host serialises only its local shards and all
+        processes participate in the (collective) write — no full-state
+        gather on every host.
+        """
+        ckpt_manager.save(self.step, self.state, config=config)
 
     def restore(self, ckpt_manager) -> bool:
-        """Resume from the latest checkpoint if one exists."""
+        """Resume from the latest checkpoint if one exists.
+
+        Restores every leaf to the *placement the engine was built with*
+        (replicated, or row-sharded when ``shard_params=True``) by passing
+        sharding-annotated abstract arrays as the orbax template, so a
+        sharded engine resumes sharded instead of silently replicating.
+        """
         if ckpt_manager.latest_step() is None:
             return False
-        template = jax.tree_util.tree_map(np.asarray, self.state)
-        restored = ckpt_manager.restore(template)
-        self.state = jax.device_put(
-            jax.tree_util.tree_map(jnp.asarray, restored),
-            replicated_sharding(self.mesh))
+
+        def as_abstract(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=x.sharding)
+            return np.asarray(x)
+
+        template = jax.tree_util.tree_map(as_abstract, self.state)
+        self.state = ckpt_manager.restore(template)
         return True
