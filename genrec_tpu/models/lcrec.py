@@ -177,18 +177,26 @@ class LCRec:
 
     # -- constrained generation -------------------------------------------
     def make_generate_topk(self, num_beams: int = 10,
-                           valid_item_ids=None):
+                           valid_item_ids=None, use_cache: bool = True):
         """jit-compiled constrained beam decode of C codebook tokens.
 
         The reference re-runs one HF forward per beam per step with a host
-        callback filtering logits (lcrec.py:164-243); here each level's
-        constraint is a static slice of the vocab and the whole search is
-        one compiled program.
+        callback filtering logits (lcrec.py:164-243) and relies on HF
+        ``use_cache=True`` (trainers/lcrec_trainer.py:146); here each
+        level's constraint is a static slice of the vocab, the whole search
+        is one compiled program, and with ``use_cache`` (default) the prompt
+        is prefilled ONCE into per-layer KV caches — each level then costs a
+        single-token forward plus a beam-parent cache gather, instead of
+        re-running the full growing prefix per level.
 
         ``valid_item_ids``: optional (N, C) catalog code table. When given,
         generation is additionally trie-constrained to *existing item
         tuples* (stronger than the reference's per-level-positional
         constraint — an extension, off by default for parity).
+
+        ``use_cache=False`` keeps the cacheless re-forward path: it is the
+        oracle the cached path is tested bitwise-against
+        (tests/test_lcrec.py) and a fallback for debugging.
         """
         C, K = self.num_codebooks, num_beams
         ranges = [self.level_token_range(c) for c in range(C)]
@@ -201,9 +209,73 @@ class LCRec:
         else:
             trie_children = trie_legal = None
 
+        def _select_level(c, last, beam_logps, nodes, beam_tokens, B):
+            """Shared per-level beam update from (B*K, V) last-token logits.
+
+            Returns (beam_tokens, beam_logps, nodes, parent, tok)."""
+            lo, hi = ranges[c]
+            level_logits = last[:, lo:hi]
+            if trie_legal is not None:
+                legal = trie_legal[nodes.reshape(-1)]      # (B*K, Kc)
+                level_logits = jnp.where(legal, level_logits, -1e32)
+            logp = jax.nn.log_softmax(level_logits, axis=-1)
+            logp = logp.reshape(B, K, -1)
+            if c == 0:
+                # all beams identical: expand from beam 0 only
+                scores, tok = jax.lax.top_k(logp[:, 0, :], K)   # (B, K)
+                parent = jnp.zeros((B, K), jnp.int32)
+            else:
+                total = beam_logps[:, :, None] + logp
+                flat = total.reshape(B, -1)
+                scores, idx = jax.lax.top_k(flat, K)
+                parent = idx // self.codebook_size
+                tok = idx % self.codebook_size
+            batch_ix = jnp.arange(B)[:, None]
+            beam_tokens = beam_tokens[batch_ix, parent]
+            beam_tokens = beam_tokens.at[:, :, c].set(tok)
+            if trie_children is not None:
+                nodes = trie_children[nodes[batch_ix, parent], tok]
+            return beam_tokens, scores, nodes, parent, tok
+
+        from genrec_tpu.decoding.trie import ROOT
+
         @jax.jit
-        def generate(params, input_ids, attention_mask):
-            from genrec_tpu.decoding.trie import ROOT
+        def generate_cached(params, input_ids, attention_mask):
+            B, L = input_ids.shape
+            Lc = L + C
+
+            # prefill the B prompts once (beams share the prompt)
+            last, cache, cache_mask, next_pos = model.apply(
+                {"params": params}, input_ids, attention_mask, Lc,
+                method=CausalLM.prefill)
+
+            def expand(x):
+                return jnp.repeat(x, K, axis=0)            # (B,…) -> (B*K,…)
+            cache = [(expand(k), expand(v)) for k, v in cache]
+            cache_mask = expand(cache_mask)
+            next_pos = expand(next_pos)                    # (B*K,)
+            last = expand(last)                            # (B*K, V)
+
+            beam_tokens = jnp.zeros((B, K, C), jnp.int32)
+            beam_logps = jnp.zeros((B, K), jnp.float32)
+            nodes = jnp.full((B, K), ROOT, jnp.int32)
+
+            for c in range(C):
+                beam_tokens, beam_logps, nodes, parent, tok = _select_level(
+                    c, last, beam_logps, nodes, beam_tokens, B)
+                # re-home each beam onto its parent's cache, then decode the
+                # chosen token (which also writes its k/v at slot L+c)
+                sel = (jnp.arange(B)[:, None] * K + parent).reshape(-1)
+                cache = [(k[sel], v[sel]) for k, v in cache]
+                tok_full = (tok.reshape(-1) + ranges[c][0]).reshape(-1, 1)
+                last, cache, cache_mask = model.apply(
+                    {"params": params}, tok_full, next_pos + c, cache,
+                    cache_mask, L + c, method=CausalLM.decode_step)
+            return LCRecGenerationOutput(sem_ids=beam_tokens,
+                                         log_probas=beam_logps)
+
+        @jax.jit
+        def generate_uncached(params, input_ids, attention_mask):
             B, L = input_ids.shape
             ids = jnp.repeat(input_ids, K, axis=0)       # (B*K, L)
             mask = jnp.repeat(attention_mask, K, axis=0)
@@ -215,33 +287,13 @@ class LCRec:
                 out = model.apply({"params": params}, ids,
                                   attention_mask=mask)
                 last = out.logits[:, -1, :]               # (B*K, V)
-                lo, hi = ranges[c]
-                level_logits = last[:, lo:hi]
-                if trie_legal is not None:
-                    legal = trie_legal[nodes.reshape(-1)]  # (B*K, K_codebook)
-                    level_logits = jnp.where(legal, level_logits, -1e32)
-                logp = jax.nn.log_softmax(level_logits, axis=-1)
-                logp = logp.reshape(B, K, -1)
-                if c == 0:
-                    # all beams identical: expand from beam 0 only
-                    scores, tok = jax.lax.top_k(logp[:, 0, :], K)  # (B, K)
-                    parent = jnp.zeros((B, K), jnp.int32)
-                else:
-                    total = beam_logps[:, :, None] + logp
-                    flat = total.reshape(B, -1)
-                    scores, idx = jax.lax.top_k(flat, K)
-                    parent = idx // self.codebook_size
-                    tok = idx % self.codebook_size
+                beam_tokens, beam_logps, nodes, parent, tok = _select_level(
+                    c, last, beam_logps, nodes, beam_tokens, B)
                 batch_ix = jnp.arange(B)[:, None]
-                beam_tokens = beam_tokens[batch_ix, parent]
-                beam_tokens = beam_tokens.at[:, :, c].set(tok)
-                beam_logps = scores
-                if trie_children is not None:
-                    nodes = trie_children[nodes[batch_ix, parent], tok]
-                # append chosen tokens to every beam's sequence
+                # append chosen tokens to every beam's (parent's) sequence
                 ids = ids.reshape(B, K, -1)[batch_ix, parent].reshape(
                     B * K, -1)
-                new_tok = (tok + lo).reshape(B * K, 1)
+                new_tok = (tok + ranges[c][0]).reshape(B * K, 1)
                 ids = jnp.concatenate([ids, new_tok], axis=1)
                 mask = jnp.concatenate(
                     [mask.reshape(B, K, -1)[batch_ix, parent].reshape(
@@ -250,7 +302,7 @@ class LCRec:
             return LCRecGenerationOutput(sem_ids=beam_tokens,
                                          log_probas=beam_logps)
 
-        return generate
+        return generate_cached if use_cache else generate_uncached
 
     # -- persistence -------------------------------------------------------
     def save_pretrained(self, save_dir: str, params) -> None:

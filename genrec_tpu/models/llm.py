@@ -8,9 +8,12 @@ grouped-query attention, SwiGLU MLP, optional weight tying — randomly
 initialized by default, with an embedding-resize hook for the ``<Ci_j>``
 token surgery (reference lcrec.py:48-60).
 
-TPU-first notes: fixed max_len causal mask, fp32 softmax, bf16-able matmuls;
-generation re-runs the forward on the growing (static-padded) prefix, which
-is fine at SFT-eval scale; flash/KV-cache paths are a later optimization.
+TPU-first notes: fixed max_len causal mask, fp32 softmax, bf16-able matmuls.
+Generation uses a KV cache (``prefill`` + ``decode_step``): the prompt is
+encoded once into per-layer (B, KV, Lc, Dh) caches and each generated token
+runs a single-position forward against them — the HF ``use_cache=True``
+contract (``/root/reference/genrec/trainers/lcrec_trainer.py:146``) rebuilt
+as two jit-compiled entry points with static cache length.
 """
 
 from __future__ import annotations
@@ -104,7 +107,16 @@ class LlmBlock(nn.Module):
                         name=name)
 
     @nn.compact
-    def __call__(self, x, positions, attn_bias):
+    def __call__(self, x, positions, attn_bias, cache_kv=None,
+                 write_index: int = 0):
+        """Returns ``(x_out, new_cache_kv)``.
+
+        Without a cache this is the plain causal block (``new_cache_kv`` is
+        None). With ``cache_kv=(k_cache, v_cache)`` of shape
+        (B, KV, Lc, Dh), the current positions' roped k/v are written at
+        ``write_index`` and attention runs over the full cache —
+        ``attn_bias`` must then have key length Lc and mask unwritten slots.
+        """
         from genrec_tpu.nn.normalize import RMSNorm
         B, L, D = x.shape
         H, KV = self.n_heads, self.n_kv_heads
@@ -118,6 +130,14 @@ class LlmBlock(nn.Module):
         v = v.reshape(B, L, KV, Dh).transpose(0, 2, 1, 3)
         q = rope(q, positions)
         k = rope(k, positions)
+        new_cache = None
+        if cache_kv is not None:
+            k_cache, v_cache = cache_kv
+            k = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype),
+                                             (0, 0, write_index, 0))
+            v = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype),
+                                             (0, 0, write_index, 0))
+            new_cache = (k, v)
         if KV != H:
             rep = H // KV
             k = jnp.repeat(k, rep, axis=1)
@@ -135,7 +155,7 @@ class LlmBlock(nn.Module):
         gate = self._dense(self.ff_dim, "gate")(h)
         up = self._dense(self.ff_dim, "up")(h)
         down = self._dense(D, "down")(nn.silu(gate) * up)
-        return x + down
+        return x + down, new_cache
 
 
 class CausalLMOutput(NamedTuple):
@@ -195,8 +215,76 @@ class CausalLM(nn.Module):
         bias = causal[None, None] + pad_bias
 
         for blk in self.blocks:
-            x = blk(x, positions, bias)
+            x, _ = blk(x, positions, bias)
         return self.final_norm(x)
+
+    def _lm_logits(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.tie_embeddings:
+            logits = jnp.einsum("bld,vd->blv", x,
+                                self.wte.astype(self.dtype),
+                                preferred_element_type=jnp.float32)
+        else:
+            logits = self.lm_head(x)
+        return logits.astype(jnp.float32)
+
+    # -- KV-cache generation entry points ---------------------------------
+    def prefill(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
+                cache_len: int):
+        """Encode the prompt once, filling per-layer KV caches.
+
+        Returns ``(last_logits (B, V), cache, cache_mask (B, Lc),
+        next_position (B,))`` — the state a :meth:`decode_step` chain
+        continues from. ``cache_len`` must be ≥ L + number of tokens to
+        generate (static, so the whole decode compiles once).
+        """
+        B, L = input_ids.shape
+        KV, Dh = self.n_kv_heads, self.d_model // self.n_heads
+        x = jnp.take(self.wte, input_ids, axis=0).astype(self.dtype)
+        positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+
+        # (L, Lc) bias: causal over the first L cache columns, -inf beyond
+        causal = jnp.triu(jnp.full((L, L), -1e9, jnp.float32), k=1)
+        future = jnp.full((L, cache_len - L), -1e9, jnp.float32)
+        bias = jnp.concatenate([causal, future], axis=1)[None, None]
+        pad = jnp.where(attention_mask[:, None, None, :] == 0, -1e9, 0.0)
+        bias = bias + jnp.pad(pad, ((0, 0), (0, 0), (0, 0),
+                                    (0, cache_len - L)))
+
+        empty = jnp.zeros((B, KV, cache_len, Dh), self.dtype)
+        cache = []
+        for blk in self.blocks:
+            x, kv = blk(x, positions, bias, cache_kv=(empty, empty),
+                        write_index=0)
+            cache.append(kv)
+        last = self.final_norm(x)[:, -1:, :]
+        logits = self._lm_logits(last)[:, 0, :]
+        cache_mask = jnp.pad(attention_mask.astype(jnp.int32),
+                             ((0, 0), (0, cache_len - L)))
+        next_position = jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+        return logits, cache, cache_mask, next_position
+
+    def decode_step(self, token_ids: jnp.ndarray, position: jnp.ndarray,
+                    cache, cache_mask: jnp.ndarray, write_index: int):
+        """One generation step: ``token_ids`` (B, 1) attends over the cache.
+
+        Returns ``(logits (B, V), new_cache, new_cache_mask)``. The new
+        token's k/v are written at ``write_index`` (static int — levels are
+        unrolled in the callers), and it attends to every valid cache slot
+        including itself.
+        """
+        B = token_ids.shape[0]
+        x = jnp.take(self.wte, token_ids, axis=0).astype(self.dtype)
+        cache_mask = cache_mask.at[:, write_index].set(1)
+        bias = jnp.where(cache_mask[:, None, None, :] == 0, -1e9, 0.0)
+        positions = position.reshape(B, 1)
+        new_cache = []
+        for blk, kv in zip(self.blocks, cache):
+            x, kv = blk(x, positions, bias, cache_kv=kv,
+                        write_index=write_index)
+            new_cache.append(kv)
+        last = self.final_norm(x)
+        logits = self._lm_logits(last)[:, 0, :]
+        return logits, new_cache, cache_mask
 
     def __call__(self, input_ids: jnp.ndarray,
                  attention_mask: Optional[jnp.ndarray] = None,

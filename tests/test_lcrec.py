@@ -189,3 +189,53 @@ def test_lora_label_fn_rejects_lora_free_model():
                         jnp.ones((1, 4), jnp.int32))["params"]
     with pytest.raises(ValueError, match="no .*lora"):
         lora_label_fn(params)
+
+
+def test_lcrec_kv_cache_matches_cacheless(tiny_lcrec):
+    """The KV-cached beam decode (default) must reproduce the cacheless
+    oracle exactly: same beams, same token choices, matching scores
+    (VERDICT round-1 task #3 contract)."""
+    model, params = tiny_lcrec
+    prompt = model.tokenizer.encode("user liked <C0_1><C1_2><C2_3> and "
+                                    "<C0_4><C1_5><C2_6> predict next:")
+    L = 24
+    ids = np.zeros((3, L), np.int32)
+    mask = np.zeros((3, L), np.int32)
+    for b, cut in enumerate([0, 3, 7]):  # varying left-padding per row
+        p = prompt[cut:]
+        ids[b, L - len(p):] = p
+        mask[b, L - len(p):] = 1
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    gen_c = model.make_generate_topk(num_beams=4, use_cache=True)
+    gen_u = model.make_generate_topk(num_beams=4, use_cache=False)
+    out_c = gen_c(params, ids, mask)
+    out_u = gen_u(params, ids, mask)
+    np.testing.assert_array_equal(np.asarray(out_c.sem_ids),
+                                  np.asarray(out_u.sem_ids))
+    np.testing.assert_allclose(np.asarray(out_c.log_probas),
+                               np.asarray(out_u.log_probas),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_lcrec_kv_cache_matches_cacheless_with_trie(tiny_lcrec):
+    model, params = tiny_lcrec
+    rng = np.random.default_rng(0)
+    valid = np.unique(rng.integers(0, 8, (30, 3)), axis=0)
+    prompt = model.tokenizer.encode("history <C0_1><C1_2><C2_3> next:")
+    L = 16
+    ids = np.zeros((2, L), np.int32)
+    mask = np.zeros((2, L), np.int32)
+    ids[:, L - len(prompt):] = prompt
+    mask[:, L - len(prompt):] = 1
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    gen_c = model.make_generate_topk(num_beams=4, valid_item_ids=valid,
+                                     use_cache=True)
+    gen_u = model.make_generate_topk(num_beams=4, valid_item_ids=valid,
+                                     use_cache=False)
+    out_c = gen_c(params, ids, mask)
+    out_u = gen_u(params, ids, mask)
+    np.testing.assert_array_equal(np.asarray(out_c.sem_ids),
+                                  np.asarray(out_u.sem_ids))
+    vset = {tuple(r) for r in valid}
+    for row in np.asarray(out_c.sem_ids).reshape(-1, 3):
+        assert tuple(row) in vset
