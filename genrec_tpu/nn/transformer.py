@@ -64,6 +64,7 @@ class T5Attention(nn.Module):
     has_relative_bias: bool = True
     num_relative_buckets: int = 32
     max_distance: int = 128
+    use_fused: bool = True   # Pallas fused attention on TPU (XLA elsewhere)
     dtype: jnp.dtype = jnp.float32
 
     def _rel_bias(self, q_len: int, k_len: int) -> jnp.ndarray:
@@ -105,6 +106,34 @@ class T5Attention(nn.Module):
         def split_heads(x):
             b, l, _ = x.shape
             return x.reshape(b, l, self.n_heads, head_dim).transpose(0, 2, 1, 3)
+
+        # --- fused Pallas path: the whole scores→softmax→dropout→@V chain
+        # stays in VMEM in the head-interleaved (B, S, H·Dh) layout, so no
+        # (B, H, S, S) tensors, dropout masks or q/k/v transposes hit HBM.
+        mask_2d = attn_mask is None or attn_mask.ndim == 2
+        if self.use_fused and mask_2d:
+            from genrec_tpu.kernels.attention import (fused_attention,
+                                                      fused_attention_supported)
+            if fused_attention_supported(q.shape, self.n_heads):
+                if self.has_relative_bias and not self.is_cross_attention:
+                    bias = self._rel_bias(q.shape[1], k.shape[1])[0]
+                else:
+                    bias = jnp.zeros((self.n_heads, q.shape[1], k.shape[1]),
+                                     jnp.float32)
+                if attn_mask is not None:
+                    bias = bias + attn_mask[None].astype(jnp.float32)
+                kpad = None
+                if key_padding_mask is not None:
+                    kpad = jnp.where(key_padding_mask, NEG_INF, 0.0)
+                rate = 0.0 if deterministic else self.dropout
+                seed = 0
+                if rate > 0.0:
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (), 0, 2 ** 31 - 1)
+                out = fused_attention(q, k, v, bias, kpad,
+                                      n_heads=self.n_heads, seed=seed,
+                                      dropout_rate=rate)
+                return dense(self.d_model, "o")(out)
 
         q, k, v = map(split_heads, (q, k, v))
         # bf16 inputs accumulate in fp32 on the MXU regardless; forcing an

@@ -1,0 +1,139 @@
+"""TPU-hardware validation of the Pallas kernels (driver-runnable).
+
+Checks the fused-attention kernel's real-TPU path (tests/test_kernels.py can
+only exercise the interpreter on CPU): forward/grad parity vs the XLA
+fallback, dropout statistics + seed reproducibility (the in-kernel hardware
+PRNG has no CPU lowering), and the nearest-codeword kernel. Exits non-zero
+on any failure.
+
+Usage: PYTHONPATH=/root/repo python scripts/tpu_kernel_check.py
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import genrec_tpu.kernels.attention as A
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    failures = []
+
+    def check(name, ok, detail=""):
+        print(f"{'PASS' if ok else 'FAIL'} {name} {detail}", flush=True)
+        if not ok:
+            failures.append(name)
+
+    rng = np.random.default_rng(0)
+    B, Sq, Sk, H, Dh = 32, 61, 61, 6, 64
+    q = jnp.asarray(rng.normal(size=(B, Sq, H * Dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Sk, H * Dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Sk, H * Dh)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(H, Sq, Sk)), jnp.float32)
+    kpad = jnp.where(jnp.asarray(rng.random((B, Sk)) < 0.2), -1e9,
+                     0.0).astype(jnp.float32).at[:, 0].set(0.0)
+
+    # forward parity (fp32)
+    out_k = np.asarray(A.fused_attention(q, k, v, bias, kpad, n_heads=H))
+    out_x = np.asarray(A.fused_attention_xla(q, k, v, bias, kpad, 0, 0.0, H))
+    diff = np.abs(out_k - out_x).max()
+    check("attention_fwd_fp32", diff < 1e-4, f"maxdiff={diff:.2e}")
+
+    # forward parity (bf16 inputs)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out_kb = np.asarray(A.fused_attention(qb, kb, vb, bias, kpad,
+                                          n_heads=H), np.float32)
+    out_xb = np.asarray(A.fused_attention_xla(qb, kb, vb, bias, kpad, 0,
+                                              0.0, H), np.float32)
+    diffb = np.abs(out_kb - out_xb).max()
+    check("attention_fwd_bf16", diffb < 3e-2, f"maxdiff={diffb:.2e}")
+
+    # gradient parity
+    def lk(q, k, v, bias):
+        return jnp.sum(A.fused_attention(q, k, v, bias, kpad,
+                                         n_heads=H) ** 2)
+
+    def lx(q, k, v, bias):
+        return jnp.sum(A.fused_attention_xla(q, k, v, bias, kpad, 0,
+                                             0.0, H) ** 2)
+    gk = jax.grad(lk, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gx = jax.grad(lx, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b, nm in zip(gk, gx, ["dq", "dk", "dv", "dbias"]):
+        m = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        check(f"attention_grad_{nm}", m < 1e-3, f"relmax={m:.2e}")
+
+    # dropout: identity-ish value stats, determinism per seed
+    rate = 0.5
+    d1 = A.fused_attention(q, k, v, bias, kpad, n_heads=H, seed=123,
+                           dropout_rate=rate)
+    d2 = A.fused_attention(q, k, v, bias, kpad, n_heads=H, seed=123,
+                           dropout_rate=rate)
+    d3 = A.fused_attention(q, k, v, bias, kpad, n_heads=H, seed=124,
+                           dropout_rate=rate)
+    check("attention_dropout_reproducible", bool(jnp.all(d1 == d2)))
+    check("attention_dropout_seed_sensitive", not bool(jnp.all(d1 == d3)))
+    # E[out] preserved: mean |ratio-1| small over many positions
+    ratio = float(jnp.mean(d1) / jnp.mean(A.fused_attention(
+        q, k, v, bias, kpad, n_heads=H, seed=0, dropout_rate=0.0)))
+    check("attention_dropout_mean_preserved", abs(ratio - 1) < 0.15,
+          f"ratio={ratio:.3f}")
+    g = jax.grad(lambda q: jnp.sum(A.fused_attention(
+        q, k, v, bias, kpad, n_heads=H, seed=7,
+        dropout_rate=rate) ** 2))(q)
+    check("attention_dropout_grad_finite", bool(jnp.isfinite(g).all()))
+
+    # fwd/bwd dropout mask consistency: for a linear function of v,
+    # out == (mask∘p/kp) @ v, so d(sum(out))/dv == column sums of the
+    # dropped probs; check grad matches a VJP through the forward's own
+    # output by finite differences on one coordinate
+    eps = 1e-2
+    gv = jax.grad(lambda v: jnp.sum(A.fused_attention(
+        q, k, v, bias, kpad, n_heads=H, seed=7, dropout_rate=rate)))(v)
+    v2 = v.at[0, 0, 0].add(eps)
+    f1 = jnp.sum(A.fused_attention(q, k, v, bias, kpad, n_heads=H,
+                                   seed=7, dropout_rate=rate))
+    f2 = jnp.sum(A.fused_attention(q, k, v2, bias, kpad, n_heads=H,
+                                   seed=7, dropout_rate=rate))
+    fd = float((f2 - f1) / eps)
+    an = float(gv[0, 0, 0])
+    check("attention_dropout_fwd_bwd_mask_match",
+          abs(fd - an) < 0.05 * max(1.0, abs(an)),
+          f"fd={fd:.4f} analytic={an:.4f}")
+
+    # nearest-codeword kernel (TPU path)
+    from genrec_tpu.kernels.codebook import (nearest_codeword,
+                                             nearest_codeword_xla)
+    x = jnp.asarray(rng.normal(size=(4096, 64)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(1024, 64)), jnp.float32)
+    ids, _ = nearest_codeword(x, c)
+    ids2, _ = nearest_codeword_xla(x, c)
+    check("nearest_codeword_tpu", bool(jnp.all(ids == ids2)))
+
+    # micro-benchmark: fused vs XLA attention fwd+bwd
+    B2 = 256
+    qq = jnp.asarray(rng.normal(size=(B2, Sq, H * Dh)), jnp.bfloat16)
+    f_fused = jax.jit(jax.grad(lambda q: jnp.sum(A.fused_attention(
+        q, qq, qq, bias, None, n_heads=H, seed=3, dropout_rate=0.1))))
+    f_xla = jax.jit(jax.grad(lambda q: jnp.sum(A.fused_attention_xla(
+        q, qq, qq, bias, jnp.zeros((B2, Sk)), 3, 0.1, H))))
+    for f, nm in [(f_fused, "fused"), (f_xla, "xla")]:
+        r = f(qq)
+        float(np.asarray(r).sum())
+        t0 = time.perf_counter()
+        for _ in range(20):
+            r = f(qq)
+        float(np.asarray(r).sum())
+        dt = (time.perf_counter() - t0) / 20
+        print(f"bench attention fwd+bwd {nm}: {dt*1e3:.3f} ms", flush=True)
+
+    print(f"\n{len(failures)} failures", flush=True)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,11 +1,99 @@
 """Pallas kernel tests (CPU fallback path; TPU path validated on hardware —
-exact id match and 2.8x speedup vs XLA at 8192x4096x64)."""
+exact id match and 2.8x speedup vs XLA at 8192x4096x64).
+
+The fused-attention kernel body runs here via the Pallas *interpreter*
+(``attention.INTERPRET``), so the exact kernel arithmetic — not just the
+XLA fallback — is exercised on CPU. The dropout branch uses the TPU
+hardware PRNG which has no CPU lowering; it is validated on hardware by
+``scripts/tpu_kernel_check.py`` (run by the driver via ``bench.py``)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
+import genrec_tpu.kernels.attention as fattn
 from genrec_tpu.kernels.codebook import nearest_codeword, nearest_codeword_xla
+
+
+@pytest.fixture
+def interpret_attention():
+    fattn.INTERPRET = True
+    yield
+    fattn.INTERPRET = False
+
+
+def _attn_inputs(B=4, Sq=13, Sk=17, H=6, Dh=64, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, Sq, H * Dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Sk, H * Dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Sk, H * Dh)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(H, Sq, Sk)), jnp.float32)
+    kpad = jnp.where(jnp.asarray(rng.random((B, Sk)) < 0.2),
+                     -1e9, 0.0).astype(jnp.float32)
+    return q, k, v, bias, kpad, H
+
+
+def test_fused_attention_forward_matches_xla(interpret_attention):
+    q, k, v, bias, kpad, H = _attn_inputs()
+    out_k = fattn.fused_attention(q, k, v, bias, kpad, n_heads=H)
+    out_x = fattn.fused_attention_xla(q, k, v, bias, kpad, 0, 0.0, H)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_attention_none_masks_and_odd_batch(interpret_attention):
+    q, k, v, _, _, H = _attn_inputs(B=3, Sq=7, Sk=7)
+    out_k = fattn.fused_attention(q, k, v, None, None, n_heads=H)
+    zb = jnp.zeros((H, 7, 7), jnp.float32)
+    zp = jnp.zeros((3, 7), jnp.float32)
+    out_x = fattn.fused_attention_xla(q, k, v, zb, zp, 0, 0.0, H)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_attention_gradients_match_xla(interpret_attention):
+    q, k, v, bias, kpad, H = _attn_inputs()
+
+    def loss_kernel(q, k, v, bias):
+        return jnp.sum(fattn.fused_attention(
+            q, k, v, bias, kpad, n_heads=H) ** 2)
+
+    def loss_xla(q, k, v, bias):
+        return jnp.sum(fattn.fused_attention_xla(
+            q, k, v, bias, kpad, 0, 0.0, H) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b, name in zip(gk, gx, ["dq", "dk", "dv", "dbias"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_t5attention_fused_path_matches_unfused(interpret_attention):
+    """Module-level: the fused kernel plugged into T5Attention reproduces
+    the unfused path (deterministic; causal mask + padding + rel bias)."""
+    from genrec_tpu.nn.transformer import T5Attention, causal_mask
+    B, S, D, H = 3, 9, 96, 6
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    # keep key 0 visible: a fully-masked query row (causal row 0 with key 0
+    # padded) is degenerate — both paths emit arbitrary values there
+    kpm = jnp.asarray(rng.random((B, S)) < 0.2).at[:, 0].set(False)
+    mod_f = T5Attention(D, H, dropout=0.0, use_fused=True)
+    mod_u = T5Attention(D, H, dropout=0.0, use_fused=False)
+    params = mod_u.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    out_f = mod_f.apply({"params": params}, x, attn_mask=causal_mask(S),
+                        key_padding_mask=kpm, deterministic=True)
+    out_u = mod_u.apply({"params": params}, x, attn_mask=causal_mask(S),
+                        key_padding_mask=kpm, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attention_cpu_dispatch_falls_back():
+    """Without INTERPRET, CPU must take the XLA path (no pallas TPU call)."""
+    assert not fattn.fused_attention_supported((4, 13, 384), 6)
 
 
 def test_nearest_codeword_cpu_fallback_correct():
