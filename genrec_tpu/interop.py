@@ -192,3 +192,165 @@ def convert_tiger_state_dict(sd: Dict) -> dict:
         },
     }
     return params
+
+
+# ---------------------------------------------------------------------------
+# HF Qwen2 → CausalLM (the LCRec/NoteLLM backbone)
+# ---------------------------------------------------------------------------
+
+def convert_qwen2_state_dict(sd: Dict, tie_embeddings: bool = True) -> dict:
+    """HF ``Qwen2ForCausalLM.state_dict()`` → genrec_tpu ``CausalLM`` params.
+
+    The reference loads Qwen2.5-1.5B via HF AutoModelForCausalLM
+    (``/root/reference/genrec/models/lcrec.py:17-60``); this converter maps
+    those weights onto the in-repo TPU backbone (same architecture family:
+    RMSNorm pre-norm, RoPE, GQA with q/k/v biases, SwiGLU). Logits parity is
+    verified against a random-init HF Qwen2 in tests/test_interop.py.
+
+    Accepts keys with or without the ``model.`` prefix. Pass the matching
+    ``CausalLM(..., rope_theta=config.rope_theta, tie_embeddings=...)``.
+    """
+    sd = _to_numpy(sd)
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):] if k.startswith("model.") else k: v
+              for k, v in sd.items()}
+    n_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                       if k.startswith("layers."))
+
+    def layer(i):
+        p = f"layers.{i}."
+        return {
+            "attn_norm": {"weight": _a(sd[p + "input_layernorm.weight"])},
+            "q": {"kernel": _t(sd[p + "self_attn.q_proj.weight"]),
+                  "bias": _a(sd[p + "self_attn.q_proj.bias"])},
+            "k": {"kernel": _t(sd[p + "self_attn.k_proj.weight"]),
+                  "bias": _a(sd[p + "self_attn.k_proj.bias"])},
+            "v": {"kernel": _t(sd[p + "self_attn.v_proj.weight"]),
+                  "bias": _a(sd[p + "self_attn.v_proj.bias"])},
+            "o": {"kernel": _t(sd[p + "self_attn.o_proj.weight"])},
+            "mlp_norm": {
+                "weight": _a(sd[p + "post_attention_layernorm.weight"])},
+            "gate": {"kernel": _t(sd[p + "mlp.gate_proj.weight"])},
+            "up": {"kernel": _t(sd[p + "mlp.up_proj.weight"])},
+            "down": {"kernel": _t(sd[p + "mlp.down_proj.weight"])},
+        }
+
+    params = {
+        "wte": _a(sd["embed_tokens.weight"]),
+        "final_norm": {"weight": _a(sd["norm.weight"])},
+        **{f"layer_{i}": layer(i) for i in range(n_layers)},
+    }
+    if not tie_embeddings:
+        params["lm_head"] = {"kernel": _t(sd["lm_head.weight"])}
+    return params
+
+
+def qwen2_model_kwargs(config) -> dict:
+    """HF ``Qwen2Config`` (or dict) → ``CausalLM`` constructor kwargs."""
+    get = (lambda k, d=None: getattr(config, k, d)) \
+        if not isinstance(config, dict) else config.get
+    return dict(
+        vocab_size=get("vocab_size"),
+        d_model=get("hidden_size"),
+        n_layers=get("num_hidden_layers"),
+        n_heads=get("num_attention_heads"),
+        n_kv_heads=get("num_key_value_heads"),
+        ff_dim=get("intermediate_size"),
+        max_len=min(get("max_position_embeddings", 32768), 32768),
+        rope_theta=float(get("rope_theta", 10000.0)),
+        tie_embeddings=bool(get("tie_word_embeddings", True)),
+    )
+
+
+def inject_lora_params(params: dict, rank: int, rng,
+                       stddev: float = 0.02) -> dict:
+    """Re-nest converted dense params for ``lora_rank>0`` models.
+
+    ``CausalLM(lora_rank=r)`` wraps every projection in :class:`LoraDense`,
+    whose base Dense lives under a ``base`` subtree plus fresh
+    ``lora_a``/``lora_b``. This moves each projection's {kernel, bias}
+    under ``base`` and adds zero-initialised adapters (lora_b=0 ⇒ the
+    wrapped model is numerically identical to the converted one).
+    """
+    proj_names = ("q", "k", "v", "o", "gate", "up", "down")
+    out = {}
+    for key, val in params.items():
+        if key.startswith("layer_"):
+            new_layer = {}
+            for name, sub in val.items():
+                if name in proj_names:
+                    d_in = sub["kernel"].shape[0]
+                    d_out = sub["kernel"].shape[1]
+                    rng, k1 = jax.random.split(rng)
+                    new_layer[name] = {
+                        "base": sub,
+                        "lora_a": jax.random.normal(
+                            k1, (d_in, rank), jnp.float32) * stddev,
+                        "lora_b": jnp.zeros((rank, d_out), jnp.float32),
+                    }
+                else:
+                    new_layer[name] = sub
+            out[key] = new_layer
+        else:
+            out[key] = val
+    return out
+
+
+QWEN2_BACKBONE_FORMAT = "qwen2-backbone-v1"
+
+
+def convert_qwen2_checkpoint(src_dir: str, out_dir: str) -> dict:
+    """Convert a local HF Qwen2 checkpoint directory into a genrec_tpu
+    backbone artifact: ``out_dir/params`` (orbax), ``out_dir/config.json``
+    (CausalLM kwargs + eos id + format tag) and a copied ``tokenizer.json``
+    when present. Returns the written config.
+
+    Replaces the reference's hub-side ``AutoModelForCausalLM.from_pretrained``
+    (``/root/reference/genrec/models/lcrec.py:17-46``) with an offline,
+    one-time conversion; :meth:`LCRec.from_qwen2_backbone` consumes the
+    artifact. CLI: ``python scripts/convert_qwen2.py <hf_dir> <out_dir>``.
+    """
+    import glob
+    import json
+    import os
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(src_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    sd = {}
+    st_files = sorted(glob.glob(os.path.join(src_dir, "*.safetensors")))
+    if st_files:
+        from safetensors.numpy import load_file
+        for fpath in st_files:
+            sd.update(load_file(fpath))
+    else:
+        import torch
+        bins = sorted(glob.glob(os.path.join(src_dir, "pytorch_model*.bin")))
+        if not bins:
+            raise FileNotFoundError(
+                f"No *.safetensors or pytorch_model*.bin in {src_dir}")
+        for fpath in bins:
+            sd.update(torch.load(fpath, map_location="cpu"))
+
+    kwargs = qwen2_model_kwargs(hf_cfg)
+    params = convert_qwen2_state_dict(
+        sd, tie_embeddings=kwargs["tie_embeddings"])
+
+    out_dir = os.path.abspath(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(out_dir, "params"),
+               jax.tree_util.tree_map(np.asarray, params), force=True)
+    ckptr.wait_until_finished()
+    config = {"format": QWEN2_BACKBONE_FORMAT, "model": kwargs,
+              "eos_token_id": hf_cfg.get("eos_token_id"),
+              "bos_token_id": hf_cfg.get("bos_token_id"),
+              "pad_token_id": hf_cfg.get("pad_token_id")}
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+    tok_src = os.path.join(src_dir, "tokenizer.json")
+    if os.path.exists(tok_src):
+        shutil.copy(tok_src, os.path.join(out_dir, "tokenizer.json"))
+    return config

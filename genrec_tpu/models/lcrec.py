@@ -108,6 +108,66 @@ class WordTokenizer:
         return tok
 
 
+class HFTokenizerAdapter:
+    """Wraps a HuggingFace ``tokenizers.Tokenizer`` (tokenizer.json) behind
+    the :class:`WordTokenizer` interface LCRec uses — real-subword encoding
+    for a converted Qwen2 backbone (reference uses AutoTokenizer,
+    ``/root/reference/genrec/models/lcrec.py:17-46``).
+    """
+
+    def __init__(self, tok, eos_token_id: int, pad_token_id: int = 0):
+        self._tok = tok
+        self.EOS = self.eos_token_id = eos_token_id
+        self.PAD = self.pad_token_id = pad_token_id or 0
+        self.BOS = -1   # Qwen2 uses no BOS
+        self.special: Dict[str, int] = {}
+
+    @classmethod
+    def from_file(cls, path: str, eos_token_id: int,
+                  pad_token_id: int = 0) -> "HFTokenizerAdapter":
+        from tokenizers import Tokenizer
+        return cls(Tokenizer.from_file(path), eos_token_id, pad_token_id)
+
+    def __len__(self):
+        return self._tok.get_vocab_size(with_added_tokens=True)
+
+    def add_special_tokens(self, tokens: List[str]) -> int:
+        from tokenizers import AddedToken
+        added = self._tok.add_special_tokens(
+            [AddedToken(t, special=True) for t in tokens])
+        for t in tokens:
+            self.special[t] = self._tok.token_to_id(t)
+        return added
+
+    def encode(self, text: str, add_eos: bool = False) -> List[int]:
+        ids = self._tok.encode(text, add_special_tokens=False).ids
+        if add_eos:
+            ids.append(self.EOS)
+        return ids
+
+    def decode(self, ids) -> str:
+        ids = [int(i) for i in np.asarray(ids).reshape(-1)]
+        if self.EOS in ids:
+            ids = ids[:ids.index(self.EOS)]
+        return self._tok.decode(ids, skip_special_tokens=False)
+
+    def save(self, path: str) -> None:
+        self._tok.save(path)
+        with open(path + ".meta", "w") as f:
+            json.dump({"eos_token_id": self.EOS,
+                       "pad_token_id": self.PAD,
+                       "special": self.special}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "HFTokenizerAdapter":
+        with open(path + ".meta") as f:
+            meta = json.load(f)
+        inst = cls.from_file(path, meta["eos_token_id"],
+                             meta["pad_token_id"])
+        inst.special = {k: int(v) for k, v in meta["special"].items()}
+        return inst
+
+
 class LCRecGenerationOutput(NamedTuple):
     sem_ids: jnp.ndarray    # (B, K, C)
     log_probas: jnp.ndarray  # (B, K)
@@ -125,8 +185,41 @@ class LCRec:
                  base_vocab: int = 30000, max_len: int = 512,
                  num_codebooks: int = 0, codebook_size: int = 0,
                  lora_rank: int = 0, lora_alpha: float = 16.0,
-                 remat: bool = False, dtype=jnp.float32):
-        self.tokenizer = WordTokenizer(base_vocab=base_vocab)
+                 remat: bool = False, backbone_path: str = "",
+                 rope_theta: float = 10000.0, tie_embeddings: bool = True,
+                 dtype=jnp.float32):
+        """``backbone_path``: a converted-Qwen2 artifact directory
+        (``interop.convert_qwen2_checkpoint``). When set, architecture dims
+        come from the artifact (the d_model/... args are ignored), the
+        tokenizer is the backbone's own subword tokenizer when shipped, and
+        :meth:`init_params` loads + embedding-resizes the pretrained
+        weights instead of random init — the reference's
+        ``from_pretrained`` + token-surgery flow (lcrec.py:17-60)."""
+        self._backbone_path = backbone_path
+        self._backbone_cfg = None
+        if backbone_path:
+            from genrec_tpu.interop import QWEN2_BACKBONE_FORMAT
+            with open(os.path.join(backbone_path, "config.json")) as f:
+                bcfg = json.load(f)
+            if bcfg.get("format") != QWEN2_BACKBONE_FORMAT:
+                raise ValueError(f"not a qwen2 backbone artifact: "
+                                 f"{backbone_path} ({bcfg.get('format')})")
+            self._backbone_cfg = bcfg
+            mk = bcfg["model"]
+            d_model, n_layers = mk["d_model"], mk["n_layers"]
+            n_heads, n_kv_heads = mk["n_heads"], mk["n_kv_heads"]
+            ff_dim, base_vocab = mk["ff_dim"], mk["vocab_size"]
+            rope_theta = mk.get("rope_theta", 10000.0)
+            tie_embeddings = mk.get("tie_embeddings", True)
+            tok_file = os.path.join(backbone_path, "tokenizer.json")
+            if os.path.exists(tok_file):
+                self.tokenizer = HFTokenizerAdapter.from_file(
+                    tok_file, bcfg["eos_token_id"],
+                    bcfg.get("pad_token_id") or 0)
+            else:
+                self.tokenizer = WordTokenizer(base_vocab=base_vocab)
+        else:
+            self.tokenizer = WordTokenizer(base_vocab=base_vocab)
         self.num_codebooks = num_codebooks
         self.codebook_size = codebook_size
         if num_codebooks and codebook_size:
@@ -134,7 +227,8 @@ class LCRec:
         self.model = CausalLM(
             vocab_size=len(self.tokenizer), d_model=d_model,
             n_layers=n_layers, n_heads=n_heads, n_kv_heads=n_kv_heads,
-            ff_dim=ff_dim, max_len=max_len, lora_rank=lora_rank,
+            ff_dim=ff_dim, max_len=max_len, rope_theta=rope_theta,
+            tie_embeddings=tie_embeddings, lora_rank=lora_rank,
             lora_alpha=lora_alpha, remat=remat, dtype=dtype)
         self._config = dict(d_model=d_model, n_layers=n_layers,
                             n_heads=n_heads, n_kv_heads=n_kv_heads,
@@ -142,7 +236,9 @@ class LCRec:
                             max_len=max_len, num_codebooks=num_codebooks,
                             codebook_size=codebook_size,
                             lora_rank=lora_rank, lora_alpha=lora_alpha,
-                            remat=remat)
+                            remat=remat, backbone_path=backbone_path,
+                            rope_theta=rope_theta,
+                            tie_embeddings=tie_embeddings)
 
     def add_codebook_tokens(self, num_codebooks: int,
                             codebook_size: int) -> None:
@@ -158,6 +254,23 @@ class LCRec:
         return start, start + self.codebook_size
 
     def init_params(self, rng: jax.Array):
+        """Random init, or — with a backbone — load the converted Qwen2
+        weights, grow the embedding table to cover the ``<Ci_j>`` tokens
+        and (for ``lora_rank>0``) nest the projections under zero-init
+        LoRA adapters, so the wrapped model starts numerically identical
+        to the pretrained one."""
+        if self._backbone_path:
+            import orbax.checkpoint as ocp
+            ckptr = ocp.StandardCheckpointer()
+            params = ckptr.restore(os.path.join(
+                os.path.abspath(self._backbone_path), "params"))
+            rng, r1 = jax.random.split(rng)
+            params = resize_token_embeddings(params, len(self.tokenizer), r1)
+            if self.model.lora_rank > 0:
+                from genrec_tpu.interop import inject_lora_params
+                rng, r2 = jax.random.split(rng)
+                params = inject_lora_params(params, self.model.lora_rank, r2)
+            return params
         dummy = jnp.ones((1, 8), jnp.int32)
         return self.model.init({"params": rng}, dummy)["params"]
 
@@ -321,9 +434,17 @@ class LCRec:
         import orbax.checkpoint as ocp
         with open(os.path.join(save_dir, "config.json")) as f:
             cfg = json.load(f)
+        # the saved config already carries the backbone's dims/rope/tying
+        # and the tokenizer is loaded below — don't require the original
+        # backbone artifact to still exist
+        cfg = dict(cfg)
+        cfg["backbone_path"] = ""
         inst = cls(**cfg)
-        inst.tokenizer = WordTokenizer.load(
-            os.path.join(save_dir, "tokenizer.json"))
+        tok_path = os.path.join(save_dir, "tokenizer.json")
+        if os.path.exists(tok_path + ".meta"):   # HF-subword backbone
+            inst.tokenizer = HFTokenizerAdapter.load(tok_path)
+        else:
+            inst.tokenizer = WordTokenizer.load(tok_path)
         ckptr = ocp.StandardCheckpointer()
         params = ckptr.restore(
             os.path.join(os.path.abspath(save_dir), "params"))

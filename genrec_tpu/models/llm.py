@@ -96,6 +96,7 @@ class LlmBlock(nn.Module):
     ff_dim: int
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    rope_theta: float = 10000.0
     dtype: jnp.dtype = jnp.float32
 
     def _dense(self, feats, name, use_bias=False):
@@ -128,8 +129,8 @@ class LlmBlock(nn.Module):
         q = q.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, KV, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, KV, Dh).transpose(0, 2, 1, 3)
-        q = rope(q, positions)
-        k = rope(k, positions)
+        q = rope(q, positions, base=self.rope_theta)
+        k = rope(k, positions, base=self.rope_theta)
         new_cache = None
         if cache_kv is not None:
             k_cache, v_cache = cache_kv
@@ -174,6 +175,7 @@ class CausalLM(nn.Module):
     n_kv_heads: int = 4
     ff_dim: int = 1408
     max_len: int = 1024
+    rope_theta: float = 10000.0
     tie_embeddings: bool = True
     remat: bool = False   # rematerialize blocks: trade FLOPs for HBM
     lora_rank: int = 0    # >0: low-rank adapters on every projection
@@ -189,6 +191,7 @@ class CausalLM(nn.Module):
             block_cls(self.d_model, self.n_heads, self.n_kv_heads,
                       self.ff_dim, lora_rank=self.lora_rank,
                       lora_alpha=self.lora_alpha,
+                      rope_theta=self.rope_theta,
                       dtype=self.dtype, name=f"layer_{i}")
             for i in range(self.n_layers)]
         self.final_norm = RMSNorm(self.d_model, name="final_norm")

@@ -74,7 +74,8 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
           num_codebooks: int = 5, codebook_size: int = 256,
           use_lora: bool = False, lora_rank: int = 8,
           lora_alpha: float = 16.0, lora_r: int = 0,
-          pretrained_backbone_path: str = "", remat: bool = False,
+          pretrained_backbone_path: str = "", backbone: str = "",
+          remat: bool = False,
           dataset_type: str = "synthetic",
           dataset_folder: str = "dataset/amazon", split: str = "beauty",
           pretrained_rqvae_path: str = "", sem_ids_table=None,
@@ -128,12 +129,16 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
         lora_rank = lora_r
     if use_lora and lora_rank <= 0:
         raise ValueError("use_lora=True requires lora_rank > 0")
+    # ``backbone``: converted-Qwen2 artifact (scripts/convert_qwen2.py) —
+    # pretrained weights + its own subword tokenizer; architecture dims
+    # then come from the artifact, not the d_model/... gin knobs
     model = LCRec(d_model=d_model, n_layers=n_layers, n_heads=n_heads,
                   n_kv_heads=n_kv_heads, ff_dim=ff_dim,
                   base_vocab=base_vocab, max_len=max_len + C + 1,
                   num_codebooks=num_codebooks, codebook_size=codebook_size,
                   lora_rank=lora_rank if use_lora else 0,
-                  lora_alpha=lora_alpha, remat=remat)
+                  lora_alpha=lora_alpha, remat=remat,
+                  backbone_path=backbone)
     gen = LCRecTaskGenerator(corpus, sem_ids, item_titles=titles,
                              item_descriptions=descs,
                              max_seq_len=max_seq_len, seed=seed)
@@ -151,12 +156,14 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
                     pretrained_backbone_path)
     else:
         params = model.init_params(rng)
-        if use_lora:
+        if backbone:
+            logger.info("loaded converted Qwen2 backbone from %s", backbone)
+        elif use_lora:
             logger.warning(
                 "use_lora=True with a randomly-initialized backbone: "
                 "freezing random base weights is almost never what you "
-                "want — set pretrained_backbone_path (LoRA exists to "
-                "adapt a pretrained model).")
+                "want — set backbone=<converted-qwen2 dir> (LoRA exists "
+                "to adapt a pretrained model).")
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     logger.info("model params: %.2fM", n_params / 1e6)
 

@@ -196,3 +196,221 @@ def test_tiger_forward_matches_reference():
                                ref_out.logits.numpy(), atol=3e-4, rtol=1e-3)
     np.testing.assert_allclose(float(out.loss), float(ref_out.loss),
                                rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# HF Qwen2 → CausalLM (VERDICT round-1 task #2)
+# ---------------------------------------------------------------------------
+
+def test_qwen2_converter_logits_parity():
+    """Converted random-init HF Qwen2 weights produce matching logits,
+    including under left padding (the LCRec generate layout)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config
+    from transformers.models.qwen2 import Qwen2ForCausalLM
+
+    cfg = Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=1000000.0,
+        tie_word_embeddings=True, attention_dropout=0.0)
+    torch.manual_seed(0)
+    hf = Qwen2ForCausalLM(cfg).eval()
+
+    from genrec_tpu.interop import convert_qwen2_state_dict, \
+        qwen2_model_kwargs
+    from genrec_tpu.models.llm import CausalLM
+    kwargs = qwen2_model_kwargs(cfg)
+    model = CausalLM(**kwargs)
+    params = convert_qwen2_state_dict(hf.state_dict(),
+                                      tie_embeddings=kwargs["tie_embeddings"])
+
+    rng = np.random.default_rng(0)
+    B, L = 3, 12
+    ids = rng.integers(0, 128, (B, L))
+    mask = np.ones((B, L), np.int64)
+    mask[0, :4] = 0   # left padding
+    mask[2, :7] = 0
+    ids = ids * mask  # pad positions → token 0
+
+    with torch.no_grad():
+        hf_logits = hf(input_ids=torch.tensor(ids),
+                       attention_mask=torch.tensor(mask)).logits.numpy()
+    out = model.apply({"params": params}, jnp.asarray(ids, jnp.int32),
+                      attention_mask=jnp.asarray(mask, jnp.int32))
+    ours = np.asarray(out.logits)
+    # compare on real (unpadded) positions only — HF computes positions for
+    # pad slots differently, but they never contribute to loss or decoding
+    real = mask.astype(bool)
+    np.testing.assert_allclose(ours[real], hf_logits[real],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_qwen2_converter_untied_head():
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config
+    from transformers.models.qwen2 import Qwen2ForCausalLM
+    cfg = Qwen2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=32, tie_word_embeddings=False)
+    torch.manual_seed(1)
+    hf = Qwen2ForCausalLM(cfg).eval()
+    from genrec_tpu.interop import convert_qwen2_state_dict, \
+        qwen2_model_kwargs
+    from genrec_tpu.models.llm import CausalLM
+    kwargs = qwen2_model_kwargs(cfg)
+    model = CausalLM(**kwargs)
+    params = convert_qwen2_state_dict(hf.state_dict(), tie_embeddings=False)
+    ids = np.random.default_rng(2).integers(0, 64, (2, 9))
+    with torch.no_grad():
+        hf_logits = hf(input_ids=torch.tensor(ids)).logits.numpy()
+    out = model.apply({"params": params}, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(out.logits), hf_logits,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_qwen2_lora_injection_is_identity():
+    """inject_lora_params(rank) must keep the model numerically identical
+    (lora_b starts at zero) while creating trainable adapters."""
+    from genrec_tpu.interop import convert_qwen2_state_dict, \
+        inject_lora_params
+    from genrec_tpu.models.llm import CausalLM, lora_param_mask
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config
+    from transformers.models.qwen2 import Qwen2ForCausalLM
+    cfg = Qwen2Config(vocab_size=64, hidden_size=32, intermediate_size=48,
+                      num_hidden_layers=1, num_attention_heads=2,
+                      num_key_value_heads=2, tie_word_embeddings=True)
+    torch.manual_seed(3)
+    hf = Qwen2ForCausalLM(cfg)
+    params = convert_qwen2_state_dict(hf.state_dict())
+    base = CausalLM(vocab_size=64, d_model=32, n_layers=1, n_heads=2,
+                    n_kv_heads=2, ff_dim=48)
+    lora = CausalLM(vocab_size=64, d_model=32, n_layers=1, n_heads=2,
+                    n_kv_heads=2, ff_dim=48, lora_rank=4)
+    lp = inject_lora_params(params, 4, jax.random.PRNGKey(0))
+    ids = jnp.asarray(np.random.default_rng(4).integers(0, 64, (2, 7)),
+                      jnp.int32)
+    out_b = base.apply({"params": params}, ids)
+    out_l = lora.apply({"params": lp}, ids)
+    np.testing.assert_allclose(np.asarray(out_l.logits),
+                               np.asarray(out_b.logits), rtol=1e-5,
+                               atol=1e-5)
+    mask = lora_param_mask(lp)
+    n_adapters = sum(bool(x) for x in jax.tree_util.tree_leaves(mask))
+    assert n_adapters == 14  # 7 projections × (a, b) × 1 layer
+
+
+def test_qwen2_backbone_artifact_end_to_end(tmp_path):
+    """Full flow: local HF checkpoint dir → convert_qwen2_checkpoint →
+    LCRec(backbone_path=...) with real subword tokenizer, pretrained
+    weights, token surgery and constrained generation."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config
+    from transformers.models.qwen2 import Qwen2ForCausalLM
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+
+    # tiny BPE tokenizer trained offline
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    trainer = trainers.BpeTrainer(
+        vocab_size=200, special_tokens=["<unk>", "<eos>"])
+    tok.train_from_iterator(
+        ["the user liked item", "recommend the next item",
+         "### Instruction: given history predict", "### Response:"],
+        trainer)
+    vocab = tok.get_vocab_size()
+    eos_id = tok.token_to_id("<eos>")
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    tok.save(str(hf_dir / "tokenizer.json"))
+    cfg = Qwen2Config(
+        vocab_size=vocab, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=1000000.0,
+        tie_word_embeddings=True, eos_token_id=eos_id)
+    torch.manual_seed(0)
+    hf = Qwen2ForCausalLM(cfg)
+    cfg.save_pretrained(str(hf_dir))
+    from safetensors.torch import save_file
+    sd = {k: v.contiguous() for k, v in hf.state_dict().items()
+          if k != "lm_head.weight"}   # tied: HF clones it
+    save_file(sd, str(hf_dir / "model.safetensors"))
+
+    from genrec_tpu.interop import convert_qwen2_checkpoint
+    out_dir = tmp_path / "backbone"
+    conv_cfg = convert_qwen2_checkpoint(str(hf_dir), str(out_dir))
+    assert conv_cfg["model"]["vocab_size"] == vocab
+    assert conv_cfg["model"]["rope_theta"] == 1000000.0
+
+    from genrec_tpu.models.lcrec import LCRec, HFTokenizerAdapter
+    model = LCRec(backbone_path=str(out_dir), num_codebooks=3,
+                  codebook_size=4, max_len=64)
+    assert isinstance(model.tokenizer, HFTokenizerAdapter)
+    assert len(model.tokenizer) == vocab + 12
+    params = model.init_params(jax.random.PRNGKey(0))
+    # pretrained rows preserved through the resize
+    np.testing.assert_allclose(
+        np.asarray(params["wte"][:vocab]),
+        hf.model.embed_tokens.weight.detach().numpy(), rtol=1e-6)
+
+    # subword SFT round trip + constrained generate
+    tokd = model.tokenize_sft("### Instruction: given history predict "
+                              "### Response:", "<C0_1><C1_2><C2_3>")
+    assert tokd["input_ids"][-1] == eos_id
+    assert len(tokd["input_ids"]) - tokd["prompt_seq_length"] == 4
+    gen = model.make_generate_topk(num_beams=3)
+    prompt = model.tokenizer.encode("recommend the next item")
+    L = 12
+    ids = np.zeros((2, L), np.int32)
+    mask = np.zeros((2, L), np.int32)
+    ids[:, L - len(prompt):] = prompt
+    mask[:, L - len(prompt):] = 1
+    out = gen(params, jnp.asarray(ids), jnp.asarray(mask))
+    sem = np.asarray(out.sem_ids)
+    assert sem.shape == (2, 3, 3) and sem.min() >= 0 and sem.max() < 4
+
+    # persistence round-trips the adapter tokenizer
+    model.save_pretrained(str(tmp_path / "saved"), params)
+    model2, params2 = LCRec.load_pretrained(str(tmp_path / "saved"))
+    assert isinstance(model2.tokenizer, HFTokenizerAdapter)
+    assert model2.tokenizer.special == model.tokenizer.special
+    np.testing.assert_allclose(np.asarray(params2["wte"]),
+                               np.asarray(params["wte"]))
+
+
+def test_qwen2_backbone_lora_starts_identical(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config
+    from transformers.models.qwen2 import Qwen2ForCausalLM
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    cfg = Qwen2Config(vocab_size=64, hidden_size=32, intermediate_size=48,
+                      num_hidden_layers=1, num_attention_heads=2,
+                      num_key_value_heads=2, tie_word_embeddings=True,
+                      eos_token_id=2)
+    torch.manual_seed(1)
+    hf = Qwen2ForCausalLM(cfg)
+    cfg.save_pretrained(str(hf_dir))
+    from safetensors.torch import save_file
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"},
+              str(hf_dir / "model.safetensors"))
+    from genrec_tpu.interop import convert_qwen2_checkpoint
+    out_dir = tmp_path / "bb"
+    convert_qwen2_checkpoint(str(hf_dir), str(out_dir))
+    from genrec_tpu.models.lcrec import LCRec
+    base = LCRec(backbone_path=str(out_dir), num_codebooks=2,
+                 codebook_size=4, max_len=32)
+    lora = LCRec(backbone_path=str(out_dir), num_codebooks=2,
+                 codebook_size=4, max_len=32, lora_rank=2)
+    pb = base.init_params(jax.random.PRNGKey(5))
+    pl = lora.init_params(jax.random.PRNGKey(5))
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, (2, 6)),
+                      jnp.int32)
+    ob = base.apply(pb, ids)
+    ol = lora.apply(pl, ids)
+    np.testing.assert_allclose(np.asarray(ol.logits),
+                               np.asarray(ob.logits), rtol=1e-5, atol=1e-5)
