@@ -90,3 +90,48 @@ class TopKAccumulator:
             out[f"Recall@{k}"] = self.recalls[k] / denom
             out[f"NDCG@{k}"] = self.ndcgs[k] / denom
         return out
+
+
+def sem_id_detail_sums(actual: jnp.ndarray, top1: jnp.ndarray,
+                       valid: jnp.ndarray | None = None,
+                       catalog_codes: jnp.ndarray | None = None,
+                       codebook_size: int = 0) -> Dict[str, jnp.ndarray]:
+    """LCRec eval-depth sums (reference parity:
+    ``/root/reference/genrec/trainers/lcrec_trainer.py:231-260``):
+    per-codebook top-1 accuracy, exact-match rate and invalid-generation
+    count (top-1 tuple not in the item catalog — the compiled constrained
+    decode always emits per-level-legal tokens, so "invalid" here means
+    "no such item", the analogue of the reference's unparseable strings).
+
+    Args:
+      actual: (B, C) target codes; top1: (B, C) the best beam.
+      catalog_codes: optional (N, C) table of existing items.
+    Returns sums keyed ``codebook_acc_sum@c`` / ``exact_match_sum`` /
+    ``invalid_sum`` plus ``count``.
+    """
+    C = actual.shape[1]
+    if valid is None:
+        valid = jnp.ones(actual.shape[:1], dtype=jnp.float32)
+    else:
+        valid = valid.astype(jnp.float32)
+    out: Dict[str, jnp.ndarray] = {"count": jnp.sum(valid)}
+    pos = (actual == top1).astype(jnp.float32)            # (B, C)
+    for c in range(C):
+        out[f"codebook_acc_sum@{c}"] = jnp.sum(pos[:, c] * valid)
+    out["exact_match_sum"] = jnp.sum(jnp.all(actual == top1,
+                                             axis=-1) * valid)
+    if catalog_codes is not None and codebook_size:
+        # key-encode tuples and membership-test against the sorted catalog
+        K = jnp.int64(codebook_size)
+        def key(codes):
+            acc = jnp.zeros(codes.shape[:-1], jnp.int64)
+            for c in range(C):
+                acc = acc * K + codes[..., c].astype(jnp.int64)
+            return acc
+        cat = jnp.sort(key(catalog_codes))
+        pk = key(top1)
+        idx = jnp.searchsorted(cat, pk)
+        idx = jnp.clip(idx, 0, cat.shape[0] - 1)
+        exists = cat[idx] == pk
+        out["invalid_sum"] = jnp.sum((~exists).astype(jnp.float32) * valid)
+    return out

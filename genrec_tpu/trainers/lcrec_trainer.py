@@ -18,6 +18,7 @@ import os
 from typing import List
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from genrec_tpu.configlib import gin, parse_config
@@ -210,8 +211,14 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
         if use_item_trie else None)
     acc = TopKAccumulator(ks=EVAL_KS)
 
+    from genrec_tpu.ops.metrics import sem_id_detail_sums
+    catalog = jnp.asarray(sem_ids[:corpus.num_items], jnp.int32)
+
     def evaluate() -> dict:
+        # reference eval depth (lcrec_trainer.py:231-260): R@K/NDCG plus
+        # per-codebook top-1 accuracy, exact-match and invalid counts
         acc.reset()
+        detail: dict = {}
         ebs = eval_batch_size or batch_size
         for batch in iter_batches(eval_samples, ebs, batch_fn_eval,
                                   False, 0):
@@ -222,7 +229,16 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
                                     EVAL_KS, valid=db["valid"])
             acc.update_sums({k: float(np.asarray(v))
                              for k, v in sums.items()})
-        return acc.reduce()
+            dsums = sem_id_detail_sums(
+                db["target_sem_ids"], out.sem_ids[:, 0], valid=db["valid"],
+                catalog_codes=catalog, codebook_size=codebook_size)
+            for k, v in dsums.items():
+                detail[k] = detail.get(k, 0.0) + float(np.asarray(v))
+        m = acc.reduce()
+        n = max(detail.pop("count", 0.0), 1.0)
+        for k, v in detail.items():
+            m[k.replace("_sum", "")] = v / n
+        return m
 
     if eval_only:
         m = evaluate()

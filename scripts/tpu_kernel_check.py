@@ -1,10 +1,10 @@
 """TPU-hardware validation of the Pallas kernels (driver-runnable).
 
-Checks the fused-attention kernel's real-TPU path (tests/test_kernels.py can
-only exercise the interpreter on CPU): forward/grad parity vs the XLA
-fallback, dropout statistics + seed reproducibility (the in-kernel hardware
-PRNG has no CPU lowering), and the nearest-codeword kernel. Exits non-zero
-on any failure.
+Checks the fused-attention/dropout kernels' real-TPU paths
+(tests/test_kernels.py exercises the same bodies via the CPU interpreter):
+forward/grad parity vs the XLA fallback, dropout statistics, seed
+reproducibility and fwd/bwd mask identity, plus the nearest-codeword
+kernel. Exits non-zero on any failure.
 
 Usage: PYTHONPATH=/root/repo python scripts/tpu_kernel_check.py
 """
@@ -77,11 +77,14 @@ def main():
                            dropout_rate=rate)
     check("attention_dropout_reproducible", bool(jnp.all(d1 == d2)))
     check("attention_dropout_seed_sensitive", not bool(jnp.all(d1 == d3)))
-    # E[out] preserved: mean |ratio-1| small over many positions
-    ratio = float(jnp.mean(d1) / jnp.mean(A.fused_attention(
-        q, k, v, bias, kpad, n_heads=H, seed=0, dropout_rate=0.0)))
-    check("attention_dropout_mean_preserved", abs(ratio - 1) < 0.15,
-          f"ratio={ratio:.3f}")
+    # E[out] preserved: with v = ones, out rows are 2·Σ(kept p) whose
+    # expectation is exactly 1 — a clean statistic (the naive signed-mean
+    # ratio of a zero-mean tensor is 0/0 noise)
+    ones = jnp.ones_like(v)
+    do_mean = float(jnp.mean(A.fused_attention(
+        q, k, ones, bias, kpad, n_heads=H, seed=123, dropout_rate=rate)))
+    check("attention_dropout_mean_preserved", abs(do_mean - 1.0) < 0.05,
+          f"mean={do_mean:.4f} (expect 1.0)")
     g = jax.grad(lambda q: jnp.sum(A.fused_attention(
         q, k, v, bias, kpad, n_heads=H, seed=7,
         dropout_rate=rate) ** 2))(q)
@@ -91,7 +94,10 @@ def main():
     # out == (mask∘p/kp) @ v, so d(sum(out))/dv == column sums of the
     # dropped probs; check grad matches a VJP through the forward's own
     # output by finite differences on one coordinate
-    eps = 1e-2
+    # out is linear in v at fixed seed, so any eps is exact — use a large
+    # one so the secant difference dominates fp32 accumulation noise of the
+    # 750k-element sums
+    eps = 64.0
     gv = jax.grad(lambda v: jnp.sum(A.fused_attention(
         q, k, v, bias, kpad, n_heads=H, seed=7, dropout_rate=rate)))(v)
     v2 = v.at[0, 0, 0].add(eps)
@@ -104,6 +110,21 @@ def main():
     check("attention_dropout_fwd_bwd_mask_match",
           abs(fd - an) < 0.05 * max(1.0, abs(an)),
           f"fd={fd:.4f} analytic={an:.4f}")
+
+    # fused dropout kernel
+    from genrec_tpu.kernels.dropout import fused_dropout
+    xx = jnp.asarray(rng.normal(size=(256, 61, 384)), jnp.bfloat16)
+    y1 = fused_dropout(xx, 5, 0.3)
+    y2 = fused_dropout(xx, 5, 0.3)
+    check("dropout_reproducible", bool(jnp.all(y1 == y2)))
+    frac = float((np.asarray(y1, np.float32) == 0).mean())
+    check("dropout_frac", abs(frac - 0.3) < 0.01, f"frac={frac:.4f}")
+    w = jnp.asarray(rng.normal(size=xx.shape), jnp.bfloat16)
+    gm = jax.grad(lambda x: jnp.sum((fused_dropout(x, 5, 0.3)
+                                     * w).astype(jnp.float32)))(xx)
+    same = bool(jnp.all((np.asarray(gm, np.float32) == 0)
+                        == (np.asarray(y1, np.float32) == 0)))
+    check("dropout_bwd_mask_identity", same)
 
     # nearest-codeword kernel (TPU path)
     from genrec_tpu.kernels.codebook import (nearest_codeword,
@@ -121,15 +142,19 @@ def main():
         q, qq, qq, bias, None, n_heads=H, seed=3, dropout_rate=0.1))))
     f_xla = jax.jit(jax.grad(lambda q: jnp.sum(A.fused_attention_xla(
         q, qq, qq, bias, jnp.zeros((B2, Sk)), 3, 0.1, H))))
+    # chain 50 calls inside one jit so the axon per-dispatch overhead
+    # (~20 ms) doesn't swamp the sub-ms kernels
     for f, nm in [(f_fused, "fused"), (f_xla, "xla")]:
-        r = f(qq)
+        chain = jax.jit(lambda q0: jax.lax.scan(
+            lambda c, _: (f(c) * 1e-3 + qq, None), q0, None, length=50)[0])
+        r = chain(qq)
         float(np.asarray(r).sum())
         t0 = time.perf_counter()
-        for _ in range(20):
-            r = f(qq)
+        r = chain(qq)
         float(np.asarray(r).sum())
-        dt = (time.perf_counter() - t0) / 20
-        print(f"bench attention fwd+bwd {nm}: {dt*1e3:.3f} ms", flush=True)
+        dt = (time.perf_counter() - t0) / 50
+        print(f"bench attention fwd+bwd {nm}: {dt*1e3:.3f} ms/call",
+              flush=True)
 
     print(f"\n{len(failures)} failures", flush=True)
     sys.exit(1 if failures else 0)

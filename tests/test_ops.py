@@ -146,3 +146,27 @@ def test_l2norm_zero_safe():
     x = jnp.zeros((2, 3))
     out = ops.l2norm(x)
     np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_sem_id_detail_sums():
+    """LCRec eval-depth metrics: per-codebook acc, exact match, invalid."""
+    import jax.numpy as jnp
+
+    from genrec_tpu.ops.metrics import sem_id_detail_sums
+    actual = jnp.asarray([[1, 2, 3], [4, 5, 6], [7, 0, 1]])
+    top1 = jnp.asarray([[1, 2, 0], [4, 5, 6], [1, 0, 1]])
+    catalog = jnp.asarray([[1, 2, 3], [4, 5, 6], [1, 2, 0]])
+    out = sem_id_detail_sums(actual, top1, catalog_codes=catalog,
+                             codebook_size=8)
+    assert float(out["count"]) == 3
+    assert float(out["codebook_acc_sum@0"]) == 2   # rows 0, 1
+    assert float(out["codebook_acc_sum@1"]) == 3   # all rows
+    assert float(out["codebook_acc_sum@2"]) == 2   # rows 1, 2
+    assert float(out["exact_match_sum"]) == 1      # row 1
+    # row 0 top1 (1,2,0) is in catalog; row 2 (1,0,1) is not
+    assert float(out["invalid_sum"]) == 1
+    # valid mask excludes rows
+    out2 = sem_id_detail_sums(actual, top1, valid=jnp.asarray([1, 1, 0]),
+                              catalog_codes=catalog, codebook_size=8)
+    assert float(out2["invalid_sum"]) == 0
+    assert float(out2["exact_match_sum"]) == 1
