@@ -50,6 +50,22 @@ def compute_collision_rate(sem_ids: np.ndarray) -> float:
     return 1.0 - n_unique / len(sem_ids)
 
 
+def add_disambiguation_suffix(sem_ids: np.ndarray) -> np.ndarray:
+    """Append a collision-breaking extra code level (off by default, as in
+    the reference config): items sharing a code tuple get incremental
+    suffixes 0, 1, 2, … in item-id order, making every (C+1)-tuple unique.
+    Reference parity: ``/root/reference/genrec/data/amazon.py:323-353``.
+    """
+    sem_ids = np.asarray(sem_ids)
+    _, inverse = np.unique(sem_ids, axis=0, return_inverse=True)
+    suffix = np.zeros(len(sem_ids), np.int32)
+    counts: dict = {}
+    for i, g in enumerate(inverse):
+        suffix[i] = counts.get(g, 0)
+        counts[g] = suffix[i] + 1
+    return np.concatenate([sem_ids, suffix[:, None]], axis=1)
+
+
 def _load_item_dataset(dataset_type: str, dataset_folder: str, split: str,
                        encoder_model_name: str, train_test_split: str):
     if dataset_type == "synthetic":
@@ -78,7 +94,7 @@ def train(epochs: int = 5000, iterations: int = 0,
           commitment_weight: float = 0.25, gumbel_temperature: float = 0.2,
           dataset_type: str = "amazon", dataset_folder: str = "dataset/amazon",
           split: str = "beauty", encoder_model_name: str = "hashed",
-          kmeans_init_batch: int = 20000,
+          kmeans_init_batch: int = 20000, add_disambiguation: bool = False,
           do_eval: bool = True, eval_every: int = 50,
           save_model_every: int = 50, save_dir_root: str = "out/rqvae",
           pretrained_rqvae_path: str = "",
@@ -204,6 +220,12 @@ def train(epochs: int = 5000, iterations: int = 0,
     sem_ids = compute_semantic_ids(model, engine.state.params, all_emb)
     final_cr = compute_collision_rate(sem_ids)
     logger.info("final collision rate (all items): %.4f", final_cr)
+    if add_disambiguation:
+        sem_ids = add_disambiguation_suffix(sem_ids)
+        logger.info("disambiguation suffix appended: %d levels, "
+                    "max suffix %d, all-unique=%s", sem_ids.shape[1],
+                    int(sem_ids[:, -1].max()),
+                    len(np.unique(sem_ids, axis=0)) == len(sem_ids))
     artifact_dir = os.path.join(save_dir_root, "artifact")
     save_rqvae_artifact(
         artifact_dir,

@@ -164,3 +164,19 @@ def test_loader_supports_dict_batches():
     for b in batches:
         assert b["x"].shape == (4,)
     np.testing.assert_array_equal(batches[-1]["valid"], [1, 1, 0, 0])
+
+
+def test_add_disambiguation_suffix():
+    """4th-code collision breaking (reference data/amazon.py:323-353)."""
+    import numpy as np
+
+    from genrec_tpu.trainers.rqvae_trainer import add_disambiguation_suffix
+    sem = np.asarray([[23, 45, 67], [1, 2, 3], [23, 45, 67],
+                      [23, 45, 67], [1, 2, 3]])
+    out = add_disambiguation_suffix(sem)
+    assert out.shape == (5, 4)
+    np.testing.assert_array_equal(out[:, :3], sem)
+    # incremental suffix in item order within each collision group
+    np.testing.assert_array_equal(out[:, 3], [0, 0, 1, 2, 1])
+    # all tuples unique afterwards
+    assert len(np.unique(out, axis=0)) == len(out)
