@@ -22,7 +22,11 @@ class Loader:
     def __init__(self, samples: Sequence, batch_size: int,
                  batch_fn: Callable[[List], object], *,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = False,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 transform: Callable = None):
+        """``transform(sample, rng) -> sample``: optional per-sample,
+        per-epoch augmentation applied at iteration time (e.g. the P5
+        random-crop subsampling, reference p5_amazon.py:469-500)."""
         if batch_size % process_count != 0:
             raise ValueError(
                 f"global batch_size {batch_size} not divisible by "
@@ -36,6 +40,7 @@ class Loader:
         self.drop_last = drop_last
         self.process_index = process_index
         self.process_count = process_count
+        self.transform = transform
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -50,6 +55,9 @@ class Loader:
             rng = np.random.default_rng((self.seed, self.epoch))
             rng.shuffle(order)
         self.epoch += 1
+        trng = np.random.default_rng((self.seed + 1, self.epoch))
+        take = ((lambda i: self.transform(self.samples[i], trng))
+                if self.transform else (lambda i: self.samples[i]))
         gbs, lbs = self.global_batch_size, self.local_batch_size
         for start in range(0, len(order), gbs):
             idx = order[start:start + gbs]
@@ -59,7 +67,7 @@ class Loader:
             local = idx[self.process_index::self.process_count][:lbs]
             if len(local) == 0:
                 local = idx[:1]  # degenerate tail: keep shapes, mark invalid
-                batch = self.batch_fn([self.samples[i] for i in local])
+                batch = self.batch_fn([take(i) for i in local])
                 invalid = np.zeros_like(
                     batch["valid"] if isinstance(batch, dict)
                     else batch.valid)
@@ -68,7 +76,7 @@ class Loader:
                 else:
                     batch = batch._replace(valid=invalid)
             else:
-                batch = self.batch_fn([self.samples[i] for i in local])
+                batch = self.batch_fn([take(i) for i in local])
             yield pad_batch_rows(batch, lbs)
 
 

@@ -12,9 +12,11 @@ whole ``scores → +bias → +mask → softmax → dropout → @V`` chain in VME
   histories, not documents — so one (S, S) tile per sample fits trivially);
 - the relative-position bias and any additive 2-D mask arrive pre-combined
   as one (H, Sq, Sk) operand, the key-padding mask as additive (B, Sk);
-- attention dropout uses the in-kernel hardware PRNG
-  (``pltpu.prng_seed``/``prng_random_bits``); the backward pass reseeds with
-  the same per-cell seed and regenerates the identical mask, so the
+- attention dropout uses a counter-based hash (murmur3 finalizer over the
+  global element index, seeded per step): pure vector math, so the backward
+  pass regenerates the *identical* mask from the same seed — the stateful
+  ``pltpu.prng_*`` stream is NOT reproducible across two different kernels
+  (measured on hardware), a counter-based generator is, and the
   (B, H, S, S) mask never exists in HBM in either direction;
 - the custom VJP recomputes probabilities flash-style and accumulates the
   bias gradient across batch-blocks inside the grid (batch is the inner,
@@ -47,6 +49,25 @@ def _keep_threshold(rate: float) -> int:
     return min(int(rate * 4294967296.0), 4294967295)
 
 
+def hash_keep_mask(seed, draw_index, shape, rate: float):
+    """Deterministic (Sq, Sk) keep-mask: murmur3 finalizer of the global
+    element counter mixed with ``seed``. Counter-based (stateless), so any
+    kernel — forward, backward, interpreter — regenerates the same mask.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    h = (draw_index.astype(jnp.uint32) * jnp.uint32(shape[0]) + rows) \
+        * jnp.uint32(shape[1]) + cols
+    h = h ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    h = h * jnp.uint32(0xCC9E2D51)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h >= jnp.uint32(_keep_threshold(rate))
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
@@ -56,9 +77,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, kpad_ref, o_ref, *,
                 n_heads: int):
     ib = pl.program_id(0)
     hg = pl.program_id(1)
-    if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + ib * pl.num_programs(1) + hg)
-    thresh = _keep_threshold(rate)
+    seed = seed_ref[0]
     inv_keep = 1.0 / (1.0 - rate)
     for i in range(bb):
         kpad = kpad_ref[i, :][None, :]                     # (1, Sk)
@@ -74,9 +93,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, kpad_ref, o_ref, *,
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             if rate > 0.0:
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits(p.shape), jnp.uint32)
-                p = jnp.where(bits >= jnp.uint32(thresh), p * inv_keep, 0.0)
+                draw = (ib * bb + i) * n_heads + hg * hb + j
+                keep = hash_keep_mask(seed, jnp.uint32(draw), p.shape, rate)
+                p = jnp.where(keep, p * inv_keep, 0.0)
             o = jax.lax.dot_general(
                 p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -90,13 +109,11 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, kpad_ref, o_ref, *,
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, kpad_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dbias_ref, *,
-                bb: int, hb: int, dh: int, scale: float, rate: float):
+                bb: int, hb: int, dh: int, scale: float, rate: float,
+                n_heads: int):
     hg = pl.program_id(0)
     ib = pl.program_id(1)
-    if rate > 0.0:
-        # same flattened cell index as the forward grid (ib-major there)
-        pltpu.prng_seed(seed_ref[0] + ib * pl.num_programs(0) + hg)
-    thresh = _keep_threshold(rate)
+    seed = seed_ref[0]
     inv_keep = 1.0 / (1.0 - rate)
 
     @pl.when(ib == 0)
@@ -119,9 +136,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, kpad_ref, do_ref,
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)     # (Sq, Sk) f32
             if rate > 0.0:
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits(p.shape), jnp.uint32)
-                keep = bits >= jnp.uint32(thresh)
+                draw = (ib * bb + i) * n_heads + hg * hb + j
+                keep = hash_keep_mask(seed, jnp.uint32(draw), p.shape, rate)
                 pd = jnp.where(keep, p * inv_keep, 0.0)
             else:
                 pd = p
@@ -267,7 +283,8 @@ def _fused_attention_bwd(rate, n_heads, res, g):
     gp = jnp.pad(g, ((0, bp - B), (0, sqp - Sq), (0, 0)))
     grid = (n_heads // hb, bp // bb)
     kernel = functools.partial(
-        _bwd_kernel, bb=bb, hb=hb, dh=dh, scale=dh ** -0.5, rate=rate)
+        _bwd_kernel, bb=bb, hb=hb, dh=dh, scale=dh ** -0.5, rate=rate,
+        n_heads=n_heads)
     dq, dk, dv, dbias = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from genrec_tpu.nn.dropout import Dropout as HwDropout
+
 from genrec_tpu.configlib import gin
 
 NEG_INF = -1e9
@@ -117,16 +119,16 @@ class HSTULayer(nn.Module):
         out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                            name="attn_norm")(out)
         out = (out * u).astype(self.dtype)
-        x = residual + nn.Dropout(self.dropout)(out,
+        x = residual + HwDropout(self.dropout)(out,
                                                 deterministic=deterministic)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                          name="ffn_norm")(x).astype(self.dtype)
         h = nn.Dense(4 * D, dtype=self.dtype, name="ffn_in")(h)
         h = nn.silu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = HwDropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(D, dtype=self.dtype, name="ffn_out")(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = HwDropout(self.dropout)(h, deterministic=deterministic)
         return x + h
 
 
@@ -154,7 +156,7 @@ class HSTU(nn.Module):
         padding_mask = input_ids == 0
 
         x = jnp.take(item_emb, input_ids, axis=0).astype(self.dtype)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = HwDropout(self.dropout)(x, deterministic=deterministic)
         for i in range(self.num_blocks):
             x = HSTULayer(
                 embed_dim=self.embed_dim, num_heads=self.num_heads,

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from genrec_tpu.nn.dropout import Dropout as HwDropout
+
 from genrec_tpu.configlib import gin
 
 NEG_INF = -1e9
@@ -59,7 +61,7 @@ class SASRecBlockAttention(nn.Module):
         scores = jnp.where(causal[None, None], NEG_INF, scores)
         attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         attn = attn * valid[:, None, :, None]                  # query mask
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        attn = HwDropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, self.embed_dim)
@@ -76,9 +78,9 @@ class PointWiseFeedForward(nn.Module):
     def __call__(self, x, residual, deterministic: bool = True):
         h = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = HwDropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = HwDropout(self.dropout)(h, deterministic=deterministic)
         return h + residual
 
 
@@ -125,7 +127,7 @@ class SASRec(nn.Module):
             for i in range(self.num_blocks)]
         self.final_norm = nn.LayerNorm(epsilon=1e-8, dtype=self.dtype,
                                        name="final_norm")
-        self.emb_dropout = nn.Dropout(self.dropout)
+        self.emb_dropout = HwDropout(self.dropout)
 
     def hidden(self, input_ids: jnp.ndarray, deterministic: bool = True):
         """(B, L, D) final hidden states + the (zero-pad-row) item table.

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from genrec_tpu.nn.dropout import Dropout as HwDropout
+
 from genrec_tpu.configlib import gin
 from genrec_tpu.decoding.beam import beam_search
 from genrec_tpu.decoding.trie import TrieTables, build_trie_tables
@@ -80,7 +82,7 @@ class Tiger(nn.Module):
             dim_feedforward=1024, dropout=self.dropout, dtype=self.dtype)
         self.output_head = nn.Dense(self.vocab_size, use_bias=False,
                                     dtype=self.dtype)
-        self.drop = nn.Dropout(self.dropout)
+        self.drop = HwDropout(self.dropout)
 
     def _embed_context(self, user_ids, sem_ids, token_type_ids, seq_mask,
                        deterministic):

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from genrec_tpu.nn.dropout import Dropout as HwDropout
+
 from genrec_tpu.ops.normalize import l2norm
 from .transformer import NEG_INF
 
@@ -46,14 +48,14 @@ class _EncoderBlock(nn.Module):
                           preferred_element_type=jnp.float32)
         attn = attn.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, L, D)
         attn = nn.Dense(D, dtype=self.dtype, name="attn_out")(attn)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x + nn.Dropout(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x + HwDropout(
             self.dropout)(attn, deterministic=deterministic)).astype(self.dtype)
         h = nn.Dense(self.ff_dim, dtype=self.dtype, name="ff1")(x)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = HwDropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(D, dtype=self.dtype, name="ff2")(h)
         return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
-            x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            x + HwDropout(self.dropout)(h, deterministic=deterministic)
         ).astype(self.dtype)
 
 

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from genrec_tpu.nn.dropout import Dropout as HwDropout
+
 from .normalize import RMSNorm
 
 NEG_INF = -1e9
@@ -156,7 +158,7 @@ class T5Attention(nn.Module):
             scores = scores + attn_mask
 
         attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        attn = HwDropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         b = out.shape[0]
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.d_model)
@@ -174,7 +176,7 @@ class FeedForward(nn.Module):
         x = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                      name="wi")(x)
         x = nn.relu(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = HwDropout(self.dropout)(x, deterministic=deterministic)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                         name="wo")(x)
 
@@ -191,7 +193,7 @@ class TransformerBlock(nn.Module):
     def __call__(self, x, *, context=None, attn_mask=None,
                  key_padding_mask=None, memory_key_padding_mask=None,
                  deterministic: bool = True):
-        drop = nn.Dropout(self.dropout)
+        drop = HwDropout(self.dropout)
         attn_out = T5Attention(
             self.dim, self.num_heads, self.dropout, dtype=self.dtype,
             name="self_attn")(

@@ -71,6 +71,11 @@ def _load_item_dataset(dataset_type: str, dataset_folder: str, split: str,
     if dataset_type == "synthetic":
         from genrec_tpu.data.synthetic import SyntheticItemDataset
         return SyntheticItemDataset(train_test_split=train_test_split)
+    if dataset_type == "p5":
+        from genrec_tpu.data.p5_amazon import P5ItemDataset
+        return P5ItemDataset(root=dataset_folder, split=split,
+                             train_test_split=train_test_split,
+                             encoder_model_name=encoder_model_name)
     if dataset_type != "amazon":
         raise ValueError(f"Unknown dataset_type: {dataset_type!r}")
     from genrec_tpu.data.amazon import AmazonItemDataset

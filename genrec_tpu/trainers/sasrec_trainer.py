@@ -42,6 +42,9 @@ def _load_corpus(dataset_type: str, dataset_folder: str, split: str,
     if dataset_type == "synthetic":
         _, corpus = synthetic_corpus()
         return corpus
+    if dataset_type == "p5":
+        from genrec_tpu.data.p5_amazon import p5_corpus
+        return p5_corpus(root=dataset_folder, split=split)
     if dataset_type != "amazon":
         raise ValueError(f"Unknown dataset_type: {dataset_type!r} "
                          f"(expected 'amazon' or 'synthetic')")

@@ -44,6 +44,9 @@ def _load_corpus(dataset_type, dataset_folder, split):
         from genrec_tpu.data.synthetic import synthetic_corpus
         _, corpus = synthetic_corpus()
         return corpus
+    if dataset_type == "p5":
+        from genrec_tpu.data.p5_amazon import p5_corpus
+        return p5_corpus(root=dataset_folder, split=split)
     if dataset_type != "amazon":
         raise ValueError(f"Unknown dataset_type: {dataset_type!r}")
     from genrec_tpu.data.amazon import amazon_corpus
@@ -72,7 +75,7 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
           num_item_embeddings: int = 256, num_user_embeddings: int = 10000,
           sem_id_dim: int = 3, max_seq_len: int = 20,
           dataset_type: str = "amazon", dataset_folder: str = "dataset/amazon",
-          split: str = "beauty",
+          split: str = "beauty", subsample: bool = False,
           pretrained_rqvae_path: str = "",
           num_beams: int = 10, beam_temperature: float = 0.2,
           beam_sample: bool = False, use_trie: bool = True,
@@ -120,9 +123,16 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
                        pad_id=pad_id)
     eval_bs = eval_batch_size or batch_size
     pidx, pcnt = jax.process_index(), jax.process_count()
+    # train-time random-crop subsampling (the P5 pipeline's augmentation,
+    # reference p5_amazon.py:469-500) — a per-epoch Loader transform
+    transform = None
+    if subsample:
+        from genrec_tpu.data.p5_amazon import subsample_crop
+        transform = lambda smp, rng: subsample_crop(smp, max_seq_len, rng)
     train_loader = Loader(corpus.generate_samples("train"), batch_size,
                           batch_fn, shuffle=True, seed=seed,
-                          process_index=pidx, process_count=pcnt)
+                          process_index=pidx, process_count=pcnt,
+                          transform=transform)
     valid_loader = Loader(corpus.generate_samples("valid"), eval_bs, batch_fn,
                           shuffle=False, process_index=pidx,
                           process_count=pcnt)

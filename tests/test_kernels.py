@@ -1,11 +1,11 @@
 """Pallas kernel tests (CPU fallback path; TPU path validated on hardware —
 exact id match and 2.8x speedup vs XLA at 8192x4096x64).
 
-The fused-attention kernel body runs here via the Pallas *interpreter*
-(``attention.INTERPRET``), so the exact kernel arithmetic — not just the
-XLA fallback — is exercised on CPU. The dropout branch uses the TPU
-hardware PRNG which has no CPU lowering; it is validated on hardware by
-``scripts/tpu_kernel_check.py`` (run by the driver via ``bench.py``)."""
+The fused-attention/dropout kernel bodies run here via the Pallas
+*interpreter* (``INTERPRET`` flags), so the exact kernel arithmetic —
+including the counter-based dropout hash — is exercised on CPU, not just
+the XLA fallback. ``scripts/tpu_kernel_check.py`` repeats the checks on
+real hardware."""
 
 import jax
 import jax.numpy as jnp
@@ -131,3 +131,74 @@ def test_rqvae_uses_kernel_path_consistently():
     d = ((np.asarray(x)[:, None] - cb[None]) ** 2).sum(-1)
     np.testing.assert_array_equal(np.asarray(out_train.ids), d.argmin(1))
     np.testing.assert_array_equal(np.asarray(out_eval.ids), d.argmin(1))
+
+
+@pytest.fixture
+def interpret_dropout():
+    import genrec_tpu.kernels.dropout as fdrop
+    fattn.INTERPRET = True
+    fdrop.INTERPRET = True
+    yield
+    fattn.INTERPRET = False
+    fdrop.INTERPRET = False
+
+
+def test_fused_dropout_mask_properties(interpret_dropout):
+    from genrec_tpu.kernels.dropout import fused_dropout
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(37, 61, 384)), jnp.float32)
+    y = fused_dropout(x, 5, 0.3)
+    assert bool(jnp.all(y == fused_dropout(x, 5, 0.3)))       # reproducible
+    assert not bool(jnp.all(y == fused_dropout(x, 6, 0.3)))   # seed matters
+    frac = float((y == 0).mean())
+    assert abs(frac - 0.3) < 0.01, frac                       # drop fraction
+    kept = np.asarray(y) != 0
+    np.testing.assert_allclose(np.asarray(y)[kept],
+                               np.asarray(x)[kept] / 0.7, rtol=1e-6)
+
+
+def test_fused_dropout_backward_regenerates_identical_mask(interpret_dropout):
+    """The core contract: the custom VJP's regenerated mask equals the
+    forward's (counter-based hash, no HBM mask tensor)."""
+    from genrec_tpu.kernels.dropout import fused_dropout
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(16, 25, 96)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+    y = fused_dropout(x, 11, 0.4)
+    g = jax.grad(lambda x: jnp.sum(fused_dropout(x, 11, 0.4) * w))(x)
+    # dx = mask/keep * w — zero exactly where the forward dropped
+    assert bool(jnp.all((np.asarray(g) == 0) == (np.asarray(y) == 0)))
+    kept = np.asarray(y) != 0
+    np.testing.assert_allclose(np.asarray(g)[kept],
+                               np.asarray(w)[kept] / 0.6, rtol=1e-5)
+
+
+def test_fused_attention_dropout_fwd_bwd_mask_match(interpret_dropout):
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(4, 16, 128)), jnp.float32)
+    out1 = fattn.fused_attention(q, q, q, None, None, n_heads=4, seed=9,
+                                 dropout_rate=0.5)
+    out2 = fattn.fused_attention(q, q, q, None, None, n_heads=4, seed=9,
+                                 dropout_rate=0.5)
+    assert bool(jnp.all(out1 == out2))
+    # out is linear in v with a fixed mask: finite difference == analytic
+    gv = jax.grad(lambda v: jnp.sum(fattn.fused_attention(
+        q, q, v, None, None, n_heads=4, seed=9, dropout_rate=0.5)))(q)
+    eps = 1e-3
+    v2 = q.at[0, 0, 0].add(eps)
+    fd = (jnp.sum(fattn.fused_attention(q, q, v2, None, None, n_heads=4,
+                                        seed=9, dropout_rate=0.5))
+          - jnp.sum(fattn.fused_attention(q, q, q, None, None, n_heads=4,
+                                          seed=9, dropout_rate=0.5))) / eps
+    np.testing.assert_allclose(float(fd), float(gv[0, 0, 0]), rtol=2e-2)
+
+
+def test_hwdropout_module_cpu_fallback():
+    """Off-TPU (no INTERPRET) the module defers to flax nn.Dropout."""
+    from genrec_tpu.nn.dropout import Dropout
+    x = jnp.ones((4, 8))
+    mod = Dropout(0.5)
+    y = mod.apply({}, x, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(0)})
+    assert float((np.asarray(y) == 0).mean()) > 0.2
+    assert bool(jnp.all(mod.apply({}, x, deterministic=True) == x))

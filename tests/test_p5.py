@@ -67,3 +67,50 @@ def test_subsample_crop_properties():
     # short sequences returned unchanged
     short = Sample(user_id=1, history=[0, 1], target=2)
     assert subsample_crop(short, 10, rng) is short
+
+
+def test_tiger_trainer_p5_end_to_end(p5_dir, tmp_path, monkeypatch):
+    """dataset_type='p5' drives the TIGER trainer end-to-end (VERDICT
+    round-1 task #7): corpus + random-crop subsampling + trie eval."""
+    from genrec_tpu.configlib import gin
+    from genrec_tpu.trainers import tiger_trainer
+    import numpy as np
+
+    sem_ids = np.random.default_rng(0).integers(0, 8, (10, 3)).astype(
+        np.int32)
+    out = tiger_trainer.train(
+        epochs=1, batch_size=8, embedding_dim=8, attn_dim=16, num_heads=2,
+        n_layers=1, num_item_embeddings=8, sem_id_dim=3, max_seq_len=6,
+        dataset_type="p5", dataset_folder=p5_dir, split="beauty",
+        subsample=True, sem_ids_table=sem_ids, num_beams=4,
+        do_eval=True, eval_valid_every_epoch=1,
+        save_dir_root=str(tmp_path / "out"), save_every_epoch=100,
+        num_warmup_steps=1)
+    assert "Recall@10" in out
+
+
+def test_loader_transform_applies_per_epoch():
+    from genrec_tpu.data.loader import Loader
+    from genrec_tpu.data.sequences import Sample
+    samples = [Sample(user_id=i, history=list(range(12)), target=12)
+               for i in range(4)]
+    seen = []
+
+    def transform(s, rng):
+        seen.append(len(s.history))
+        return Sample(user_id=s.user_id,
+                      history=s.history[:int(rng.integers(3, 9))],
+                      target=s.target)
+
+    def batch_fn(batch):
+        return {"h": np.asarray([len(s.history) for s in batch]),
+                "valid": np.ones(len(batch), bool)}
+
+    loader = Loader(samples, 2, batch_fn, shuffle=True, seed=0,
+                    transform=transform)
+    b1 = [b["h"].copy() for b in loader]
+    b2 = [b["h"].copy() for b in loader]
+    assert len(seen) == 8
+    # epoch-dependent rng: crops differ between epochs (with high prob.)
+    assert sorted(np.concatenate(b1).tolist()) != \
+        sorted(np.concatenate(b2).tolist())
