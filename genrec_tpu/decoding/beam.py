@@ -26,7 +26,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .trie import ROOT, TrieTables
+from .trie import ROOT, PackedTrie, TrieTables, packed_membership
 
 NEG = -1e32
 
@@ -81,21 +81,33 @@ def beam_search(
     """
     B, K, C = batch_size, num_beams, depth
     KK = candidates_per_beam or min(K * 6, num_tokens)
+    packed = trie if isinstance(trie, PackedTrie) else None
+    if packed is not None:
+        trie = None
+        level_keys = [jnp.asarray(lk) for lk in packed.level_keys]
     if trie is not None:
         trie_children = jnp.asarray(trie.children)
         trie_legal = jnp.asarray(trie.legal)
 
+    # packed mode: a beam's node is its radix-K prefix *key* (int64, root=0)
     state = BeamState(
         seqs=jnp.zeros((B, K, C), jnp.int32),
         logps=jnp.zeros((B, K), jnp.float32),
-        nodes=jnp.full((B, K), ROOT, jnp.int32))
+        nodes=(jnp.zeros((B, K), jnp.int64) if packed is not None
+               else jnp.full((B, K), ROOT, jnp.int32)))
 
     for step in range(C):
         prefix = state.seqs[:, :, :step].reshape(B * K, step)
         logits = decode_fn(prefix, step)                     # (B*K, V_tok)
         logits = logits.astype(jnp.float32)
 
-        if trie_legal is not None:
+        if packed is not None:
+            cand = (state.nodes.reshape(-1)[:, None]
+                    * packed.num_tokens
+                    + jnp.arange(num_tokens, dtype=jnp.int64)[None])
+            legal = packed_membership(level_keys[step], cand)  # (B*K, V)
+            logits = jnp.where(legal, logits, NEG)
+        elif trie_legal is not None:
             legal = trie_legal[state.nodes.reshape(-1)]      # (B*K, V_tok)
             logits = jnp.where(legal, logits, NEG)
 
@@ -129,7 +141,11 @@ def beam_search(
         batch_ix = jnp.arange(B)[:, None]
         new_seqs = state.seqs[batch_ix, top_parent]           # (B, K, C)
         new_seqs = new_seqs.at[:, :, step].set(top_tok)
-        if trie_children is not None:
+        if packed is not None:
+            parent_nodes = state.nodes[batch_ix, top_parent]
+            new_nodes = (parent_nodes * packed.num_tokens
+                         + top_tok.astype(jnp.int64))
+        elif trie_children is not None:
             parent_nodes = state.nodes[batch_ix, top_parent]
             new_nodes = trie_children[parent_nodes, top_tok]
         else:

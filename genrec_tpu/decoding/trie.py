@@ -80,3 +80,56 @@ def build_trie_tables(valid_ids: np.ndarray, num_tokens: int) -> TrieTables:
     # dead node: everything stays dead/illegal (already zero-initialised)
     return TrieTables(children=children, legal=legal, depth=C,
                       num_tokens=num_tokens)
+
+
+class PackedTrie(NamedTuple):
+    """Memory-compressed trie: per-level sorted prefix-key arrays.
+
+    The dense automaton is O(n_nodes × K): at production scale (200k items,
+    4 levels, K=256) that is ~0.6 GB of ``children`` alone. Here a beam's
+    "node" is the integer *key* of its prefix (``key = Σ tokenᶜ·K^…``,
+    radix-K positional encoding); legality of token ``t`` at level ``c`` is
+    membership of ``key·K + t`` in the sorted array of level-(c+1) prefix
+    keys (vectorized binary search), and the advance is pure arithmetic.
+    Total memory is O(Σ #prefixes) ≈ items × depth × 8 bytes (~6 MB at the
+    same scale) — a 100× reduction, traded for log₂(N) gather steps per
+    level inside the compiled search.
+    """
+    level_keys: tuple          # level c → sorted int64 keys, length c+1
+    depth: int
+    num_tokens: int
+
+    @property
+    def nbytes(self) -> int:
+        return sum(k.nbytes for k in self.level_keys)
+
+
+def build_packed_trie(valid_ids: np.ndarray, num_tokens: int) -> PackedTrie:
+    valid_ids = np.asarray(valid_ids, dtype=np.int64)
+    N, C = valid_ids.shape
+    if np.any(valid_ids < 0) or np.any(valid_ids >= num_tokens):
+        raise ValueError("valid_ids out of range for num_tokens")
+    if num_tokens ** C >= 2 ** 62:
+        raise ValueError("depth × log2(num_tokens) exceeds int64 keys")
+    keys = np.zeros(N, np.int64)
+    level_keys = []
+    for c in range(C):
+        keys = keys * num_tokens + valid_ids[:, c]
+        level_keys.append(np.unique(keys))
+    return PackedTrie(level_keys=tuple(level_keys), depth=C,
+                      num_tokens=num_tokens)
+
+
+def packed_membership(sorted_keys, cand):
+    """Vectorized membership test of ``cand`` (any shape, int64) in the
+    sorted 1-D ``sorted_keys`` — jit-safe binary search + verify gather."""
+    import jax.numpy as jnp
+    idx = jnp.searchsorted(sorted_keys, cand)
+    idx = jnp.clip(idx, 0, sorted_keys.shape[0] - 1)
+    return sorted_keys[idx] == cand
+
+
+def dense_trie_bytes(n_items: int, depth: int, num_tokens: int) -> int:
+    """Upper-bound memory of the dense automaton (children + legal)."""
+    n_nodes = 2 + n_items * max(depth - 1, 1)
+    return n_nodes * num_tokens * 5

