@@ -76,13 +76,14 @@ def hash_keep_mask(seed, draw_index, shape, rate: float):
 
 def _softmax_fwd_kernel(seed_ref, s_ref, bias_ref, kpad_ref, p_ref, *,
                         scale: float, rate: float):
-    s = s_ref[:].astype(jnp.float32) * scale          # (bb, H, Sq, Sk)
-    s = s + bias_ref[:][None] + kpad_ref[:][:, None, None, :]
+    s = s_ref[:].astype(jnp.float32) * scale          # (bb, hb, Sq, Sk)
+    s = s + bias_ref[:][None] + kpad_ref[:][:, :, None, :]
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     if rate > 0.0:
-        keep = hash_keep_mask(seed_ref[0], pl.program_id(0), p.shape, rate)
+        cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        keep = hash_keep_mask(seed_ref[0], cell, p.shape, rate)
         p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
     p_ref[:] = p.astype(p_ref.dtype)
 
@@ -93,20 +94,22 @@ def _softmax_fwd_kernel(seed_ref, s_ref, bias_ref, kpad_ref, p_ref, *,
 
 def _softmax_bwd_kernel(seed_ref, s_ref, bias_ref, kpad_ref, g_ref,
                         ds_ref, dbias_ref, *, scale: float, rate: float):
-    ib = pl.program_id(0)
+    hg = pl.program_id(0)
+    ib = pl.program_id(1)     # batch is the inner, sequential grid dim
 
     @pl.when(ib == 0)
     def _():
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
     s = s_ref[:].astype(jnp.float32) * scale
-    s = s + bias_ref[:][None] + kpad_ref[:][:, None, None, :]
+    s = s + bias_ref[:][None] + kpad_ref[:][:, :, None, :]
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     g = g_ref[:].astype(jnp.float32)
     if rate > 0.0:
-        keep = hash_keep_mask(seed_ref[0], ib, p.shape, rate)
+        cell = hg * pl.num_programs(1) + ib   # same mapping as forward
+        keep = hash_keep_mask(seed_ref[0], cell, p.shape, rate)
         g = jnp.where(keep, g * (1.0 / (1.0 - rate)), 0.0)
     ds = p * (g - jnp.sum(g * p, axis=-1, keepdims=True))
     dbias_ref[:] += jnp.sum(ds, axis=0)
@@ -125,10 +128,20 @@ def _pad_sbk(s, bias, kpad, bb):
     return s, bias, kpad
 
 
-def _block_b(h, sq, sk):
-    # ~2 MB input blocks
-    per_sample = h * _round_up(sq, 8) * _round_up(sk, 8) * 2
-    return max(1, min(16, (2 << 20) // max(per_sample, 1)))
+def _plan_blocks(h, sq, sk):
+    """(bb, hb): the kernel holds ~6-8 fp32 intermediates of the block
+    shape at once (upcast s, e, p, keep, g, ds + pipeline double-buffers);
+    keep each ≲0.5 MB so the working set stays under the 16 MB VMEM scope.
+    Batch blocks stay multiples-of-8-friendly; heads split further for
+    long sequences."""
+    tile = _round_up(sq, 8) * _round_up(sk, 8) * 4
+    hb = h
+    while hb > 1 and hb * tile > (512 << 10):
+        hb = (hb + 1) // 2
+    while h % hb:
+        hb += 1
+    bb = max(1, min(8, (512 << 10) // max(hb * tile, 1)))
+    return bb, hb
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -138,21 +151,23 @@ def _fused_softmax(s, bias, kpad, seed, scale, rate):
 
 def _fused_softmax_fwd(s, bias, kpad, seed, scale, rate):
     B, H, Sq, Sk = s.shape
-    bb = _block_b(H, Sq, Sk)
+    bb, hb = _plan_blocks(H, Sq, Sk)
     sp, biasp, kpadp = _pad_sbk(s, bias, kpad, bb)
     bp, _, sqp, skp = sp.shape
+    kpadp = kpadp[:, None, :]                   # (bp, 1, skp)
     out = pl.pallas_call(
         functools.partial(_softmax_fwd_kernel, scale=scale, rate=rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(bp // bb,),
+            grid=(H // hb, bp // bb),
             in_specs=[
-                pl.BlockSpec((bb, H, sqp, skp), lambda i, *_: (i, 0, 0, 0)),
-                pl.BlockSpec((H, sqp, skp), lambda i, *_: (0, 0, 0)),
-                pl.BlockSpec((bb, skp), lambda i, *_: (i, 0)),
+                pl.BlockSpec((bb, hb, sqp, skp),
+                             lambda h, i, *_: (i, h, 0, 0)),
+                pl.BlockSpec((hb, sqp, skp), lambda h, i, *_: (h, 0, 0)),
+                pl.BlockSpec((bb, 1, skp), lambda h, i, *_: (i, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((bb, H, sqp, skp),
-                                   lambda i, *_: (i, 0, 0, 0)),
+            out_specs=pl.BlockSpec((bb, hb, sqp, skp),
+                                   lambda h, i, *_: (i, h, 0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct(sp.shape, s.dtype),
         interpret=INTERPRET,
@@ -163,25 +178,29 @@ def _fused_softmax_fwd(s, bias, kpad, seed, scale, rate):
 def _fused_softmax_bwd(scale, rate, res, g):
     s, bias, kpad, seed = res
     B, H, Sq, Sk = s.shape
-    bb = _block_b(H, Sq, Sk)
+    bb, hb = _plan_blocks(H, Sq, Sk)
     sp, biasp, kpadp = _pad_sbk(s, bias, kpad, bb)
     bp, _, sqp, skp = sp.shape
+    kpadp = kpadp[:, None, :]                   # (bp, 1, skp)
     gp = jnp.pad(g.astype(s.dtype),
                  ((0, bp - B), (0, 0), (0, sqp - Sq), (0, skp - Sk)))
     ds, dbias = pl.pallas_call(
         functools.partial(_softmax_bwd_kernel, scale=scale, rate=rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(bp // bb,),
+            grid=(H // hb, bp // bb),
             in_specs=[
-                pl.BlockSpec((bb, H, sqp, skp), lambda i, *_: (i, 0, 0, 0)),
-                pl.BlockSpec((H, sqp, skp), lambda i, *_: (0, 0, 0)),
-                pl.BlockSpec((bb, skp), lambda i, *_: (i, 0)),
-                pl.BlockSpec((bb, H, sqp, skp), lambda i, *_: (i, 0, 0, 0)),
+                pl.BlockSpec((bb, hb, sqp, skp),
+                             lambda h, i, *_: (i, h, 0, 0)),
+                pl.BlockSpec((hb, sqp, skp), lambda h, i, *_: (h, 0, 0)),
+                pl.BlockSpec((bb, 1, skp), lambda h, i, *_: (i, 0, 0)),
+                pl.BlockSpec((bb, hb, sqp, skp),
+                             lambda h, i, *_: (i, h, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((bb, H, sqp, skp), lambda i, *_: (i, 0, 0, 0)),
-                pl.BlockSpec((H, sqp, skp), lambda i, *_: (0, 0, 0)),
+                pl.BlockSpec((bb, hb, sqp, skp),
+                             lambda h, i, *_: (i, h, 0, 0)),
+                pl.BlockSpec((hb, sqp, skp), lambda h, i, *_: (h, 0, 0)),
             ],
         ),
         out_shape=[
