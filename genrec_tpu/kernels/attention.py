@@ -217,6 +217,24 @@ def _fused_softmax_bwd(scale, rate, res, g):
 _fused_softmax.defvjp(_fused_softmax_fwd, _fused_softmax_bwd)
 
 
+def fused_softmax_supported(platform: Optional[str] = None) -> bool:
+    if INTERPRET:
+        return True
+    return (platform or jax.default_backend()) == "tpu"
+
+
+def fused_softmax(s, bias, kpad, seed, scale: float, rate: float = 0.0):
+    """Public entry: ``dropout(softmax(s·scale + bias + kpad))`` fused.
+
+    s: (B, H, Sq, Sk) raw scores (model dtype); bias: (H, Sq, Sk) fp32
+    additive, batch-independent; kpad: (B, Sk) fp32 additive. Used
+    directly by the decoder-only LLM path (llm.py), where the causal mask
+    is batch-independent and padding decomposes per key."""
+    return _fused_softmax(s, bias.astype(jnp.float32),
+                          kpad.astype(jnp.float32),
+                          jnp.asarray(seed, jnp.int32), scale, rate)
+
+
 # ---------------------------------------------------------------------------
 # XLA fallback / oracle
 # ---------------------------------------------------------------------------

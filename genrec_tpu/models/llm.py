@@ -109,7 +109,7 @@ class LlmBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, attn_bias, cache_kv=None,
-                 write_index: int = 0):
+                 write_index: int = 0, fused_mask=None):
         """Returns ``(x_out, new_cache_kv)``.
 
         Without a cache this is the plain causal block (``new_cache_kv`` is
@@ -117,6 +117,11 @@ class LlmBlock(nn.Module):
         (B, KV, Lc, Dh), the current positions' roped k/v are written at
         ``write_index`` and attention runs over the full cache —
         ``attn_bias`` must then have key length Lc and mask unwritten slots.
+
+        ``fused_mask=(causal_2d (L,L), kpad_add (B,L))``: the mask split
+        into a batch-independent and a per-key part — enables the fused
+        softmax TPU kernel (no (B,H,L,L) fp32 score tensor in HBM) on the
+        cacheless path.
         """
         from genrec_tpu.nn.normalize import RMSNorm
         B, L, D = x.shape
@@ -143,10 +148,22 @@ class LlmBlock(nn.Module):
             rep = H // KV
             k = jnp.repeat(k, rep, axis=1)
             v = jnp.repeat(v, rep, axis=1)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * (Dh ** -0.5)
-        scores = scores + attn_bias
-        attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        from genrec_tpu.kernels.attention import (fused_softmax,
+                                                  fused_softmax_supported)
+        if cache_kv is None and fused_mask is not None \
+                and fused_softmax_supported():
+            causal2d, kpad_add = fused_mask
+            s_raw = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+            bias = jnp.broadcast_to(causal2d[None].astype(jnp.float32),
+                                    (H, L, L))
+            attn = fused_softmax(s_raw, bias, kpad_add, 0,
+                                 Dh ** -0.5).astype(self.dtype)
+        else:
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k,
+                preferred_element_type=jnp.float32) * (Dh ** -0.5)
+            scores = scores + attn_bias
+            attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
@@ -213,12 +230,13 @@ class CausalLM(nn.Module):
         positions = jnp.maximum(positions, 0)
 
         causal = jnp.triu(jnp.full((L, L), -1e9, jnp.float32), k=1)
-        pad_bias = jnp.where(attention_mask[:, None, None, :] == 0,
-                             -1e9, 0.0).astype(jnp.float32)
-        bias = causal[None, None] + pad_bias
+        kpad_add = jnp.where(attention_mask == 0, -1e9,
+                             0.0).astype(jnp.float32)          # (B, L)
+        bias = causal[None, None] + kpad_add[:, None, None, :]
 
         for blk in self.blocks:
-            x, _ = blk(x, positions, bias)
+            x, _ = blk(x, positions, bias,
+                       fused_mask=(causal, kpad_add))
         return self.final_norm(x)
 
     def _lm_logits(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -239,3 +239,30 @@ def test_lcrec_kv_cache_matches_cacheless_with_trie(tiny_lcrec):
     vset = {tuple(r) for r in valid}
     for row in np.asarray(out_c.sem_ids).reshape(-1, 3):
         assert tuple(row) in vset
+
+
+def test_causallm_fused_softmax_matches_fallback():
+    """The fused-softmax TPU path in LlmBlock (exercised via the pallas
+    interpreter on CPU) must match the plain XLA softmax path, including
+    left padding and GQA."""
+    import genrec_tpu.kernels.attention as fattn
+    model = CausalLM(vocab_size=64, d_model=32, n_layers=2, n_heads=4,
+                     n_kv_heads=2, ff_dim=48)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 64, (3, 10)), jnp.int32)
+    mask = np.ones((3, 10), np.int32)
+    mask[0, :4] = 0
+    mask[2, :7] = 0
+    mask = jnp.asarray(mask)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids)["params"]
+    out_plain = model.apply({"params": params}, ids, attention_mask=mask)
+    fattn.INTERPRET = True
+    try:
+        out_fused = model.apply({"params": params}, ids,
+                                attention_mask=mask)
+    finally:
+        fattn.INTERPRET = False
+    real = np.asarray(mask, bool)
+    np.testing.assert_allclose(np.asarray(out_fused.logits)[real],
+                               np.asarray(out_plain.logits)[real],
+                               rtol=2e-5, atol=2e-5)
