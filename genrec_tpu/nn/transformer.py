@@ -70,7 +70,13 @@ class T5Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _rel_bias(self, q_len: int, k_len: int) -> jnp.ndarray:
-        """(1, H, q_len, k_len) additive bias from a per-(head,bucket) scalar."""
+        """(1, H, q_len, k_len) additive bias from a per-(head,bucket) scalar.
+
+        Expressed as ``one_hot(buckets) @ table`` rather than a gather: the
+        bucket grid is static so the one-hot constant-folds, the forward is
+        a tiny MXU matmul and the backward a matmul instead of a
+        22k-element scatter-add into 192 rows (~1.5 ms/step across layers
+        at the TIGER paper config, round-2 profile)."""
         table = self.param(
             "rel_bias", nn.initializers.normal(stddev=1.0),
             (self.n_heads * self.num_relative_buckets, 1))
@@ -79,11 +85,13 @@ class T5Attention(nn.Module):
         buckets = relative_position_bucket(
             mem - ctx, self.num_relative_buckets, self.max_distance,
             bidirectional=True)                                  # (q, k)
-        head_offset = (jnp.arange(self.n_heads)
-                       * self.num_relative_buckets)[:, None, None]
-        idx = buckets[None] + head_offset                        # (H, q, k)
-        bias = jnp.take(table[:, 0], idx, axis=0)                # (H, q, k)
-        return bias[None].astype(jnp.float32)
+        onehot = jax.nn.one_hot(buckets, self.num_relative_buckets,
+                                dtype=jnp.float32)               # (q, k, NB)
+        table2 = table[:, 0].reshape(self.n_heads,
+                                     self.num_relative_buckets)
+        bias = jnp.einsum("qkb,hb->hqk", onehot,
+                          table2.astype(jnp.float32))
+        return bias[None]
 
     @nn.compact
     def __call__(self, query: jnp.ndarray,
