@@ -76,16 +76,35 @@ class CobraDecoderBlock(nn.Module):
         H, Dh = self.num_heads, D // self.num_heads
         qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        split = lambda t: t.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
-        q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * (Dh ** -0.5)
-        scores = jnp.where(causal[None, None], -1e9, scores)
-        scores = jnp.where(pad_mask[:, None, None, :], -1e9, scores)
-        attn = jnp.einsum("bhqk,bhkd->bhqd",
-                          jax.nn.softmax(scores, axis=-1).astype(self.dtype),
-                          v, preferred_element_type=jnp.float32)
-        attn = attn.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, L, D)
+        from genrec_tpu.kernels.attention import (fused_softmax,
+                                                  fused_softmax_supported)
+        if fused_softmax_supported():
+            # causal is batch-independent, padding per-key: the fused
+            # softmax kernel applies (no (B,H,L,L) fp32 scores in HBM)
+            sh = lambda t: t.reshape(B, L, H, Dh)
+            s_raw = jnp.einsum("bqhd,bkhd->bhqk", sh(q), sh(k))
+            bias = jnp.broadcast_to(
+                jnp.where(causal, -1e9, 0.0)[None].astype(jnp.float32),
+                (H, L, L))
+            kpad = jnp.where(pad_mask, -1e9, 0.0).astype(jnp.float32)
+            p = fused_softmax(s_raw, bias, kpad, 0, Dh ** -0.5)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", p.astype(self.dtype),
+                              sh(v), preferred_element_type=jnp.float32)
+            attn = attn.astype(self.dtype).reshape(B, L, D)
+        else:
+            split = lambda t: t.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+            q, k, v = split(q), split(k), split(v)
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k,
+                preferred_element_type=jnp.float32) * (Dh ** -0.5)
+            scores = jnp.where(causal[None, None], -1e9, scores)
+            scores = jnp.where(pad_mask[:, None, None, :], -1e9, scores)
+            attn = jnp.einsum(
+                "bhqk,bhkd->bhqd",
+                jax.nn.softmax(scores, axis=-1).astype(self.dtype),
+                v, preferred_element_type=jnp.float32)
+            attn = attn.astype(self.dtype).transpose(
+                0, 2, 1, 3).reshape(B, L, D)
         attn = nn.Dense(D, dtype=self.dtype, name="attn_out")(attn)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
             x + HwDropout(self.dropout)(attn, deterministic=deterministic)

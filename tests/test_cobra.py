@@ -109,3 +109,18 @@ def test_training_reduces_loss(tiny_cobra):
         p, state, loss = step(p, state)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_cobra_fused_softmax_matches_fallback(tiny_cobra):
+    """COBRA decoder's fused-softmax path (pallas interpreter on CPU)
+    matches the plain XLA attention."""
+    import genrec_tpu.kernels.attention as fattn
+    model, params, ids, toks = tiny_cobra
+    out_plain = model.apply({"params": params}, ids, toks)
+    fattn.INTERPRET = True
+    try:
+        out_fused = model.apply({"params": params}, ids, toks)
+    finally:
+        fattn.INTERPRET = False
+    np.testing.assert_allclose(float(out_fused.loss),
+                               float(out_plain.loss), rtol=2e-5)
