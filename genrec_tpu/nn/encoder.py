@@ -137,3 +137,20 @@ class PretrainedTextEncoder:
             pooled = torch.nn.functional.normalize(pooled, dim=-1)
             outs.append(pooled.numpy())
         return np.concatenate(outs)
+
+
+def sentence_t5_encoder(model_path: str) -> "PretrainedTextEncoder":
+    """Masked-mean pooling (reference ``SentenceT5Encoder``,
+    modules/encoder.py:108-199)."""
+    return PretrainedTextEncoder(model_path, pooling="mean")
+
+
+def ernie_encoder(model_path: str) -> "PretrainedTextEncoder":
+    """CLS pooling (reference ``ErnieEncoder``, modules/encoder.py:202-294)."""
+    return PretrainedTextEncoder(model_path, pooling="cls")
+
+
+def bge_encoder(model_path: str) -> "PretrainedTextEncoder":
+    """CLS pooling + L2 norm (reference ``BgeEncoder``,
+    modules/encoder.py:297-377)."""
+    return PretrainedTextEncoder(model_path, pooling="cls")

@@ -160,3 +160,43 @@ def test_transformer_works_in_bf16():
     out = mod.apply(variables, src, tgt)
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+
+def test_pretrained_text_encoder_with_local_model(tmp_path):
+    """Exercise the pretrained-encoder wrapper (sentence-t5/ernie/bge
+    parity) against a locally-constructed tiny BERT — the hub path the
+    zero-egress environment can't reach, minus the download."""
+    pytest.importorskip("torch")
+    from transformers import BertConfig, BertModel, BertTokenizerFast
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "the", "item", "shiny", "red", "blue", "product", "##s"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(vocab))
+    tok = BertTokenizerFast(vocab_file=str(vocab_file))
+    cfg = BertConfig(vocab_size=len(vocab), hidden_size=32,
+                     num_hidden_layers=1, num_attention_heads=2,
+                     intermediate_size=64, max_position_embeddings=64)
+    import torch
+    torch.manual_seed(0)
+    model = BertModel(cfg)
+    model_dir = tmp_path / "bert"
+    model.save_pretrained(str(model_dir))
+    tok.save_pretrained(str(model_dir))
+
+    from genrec_tpu.nn.encoder import (PretrainedTextEncoder, bge_encoder,
+                                       ernie_encoder, sentence_t5_encoder)
+    texts = ["the shiny red item", "blue products", "the product"]
+    for factory in (sentence_t5_encoder, ernie_encoder, bge_encoder):
+        enc = factory(str(model_dir))
+        emb = enc.encode(texts, batch_size=2)
+        assert emb.shape == (3, 32)
+        np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0,
+                                   rtol=1e-5)
+    # mean vs cls pooling genuinely differ
+    e_mean = sentence_t5_encoder(str(model_dir)).encode(texts)
+    e_cls = ernie_encoder(str(model_dir)).encode(texts)
+    assert np.abs(e_mean - e_cls).max() > 1e-3
+    # missing model raises the clear offline error
+    with pytest.raises(FileNotFoundError, match="not cached"):
+        PretrainedTextEncoder(str(tmp_path / "nope"))
