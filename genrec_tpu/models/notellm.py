@@ -113,3 +113,44 @@ def compute_metrics(query_emb: np.ndarray, doc_emb: np.ndarray,
         hits = sum(1 for i in range(n) if i in ranks[i, :k])
         out[f"acc@{k}"] = hits / n
     return out
+
+
+def query2embedding_from_backbone(backbone_dir: str, rng,
+                                  alpha: float = 0.0,
+                                  max_len: int = 512,
+                                  dtype=jnp.float32):
+    """Build a Query2Embedding on a converted Qwen2 backbone artifact.
+
+    Mirrors the reference's Qwen2 wrapping (notellm.py:44-129): dims come
+    from the artifact, an ``[EMB]`` token is appended to the vocabulary
+    (its id = old vocab size) and the embedding table grows by one row;
+    everything but that row and ``tau`` starts from the pretrained weights.
+    Returns ``(model, params, emb_token_id)``.
+    """
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from genrec_tpu.interop import QWEN2_BACKBONE_FORMAT
+    from .llm import resize_token_embeddings
+
+    with open(os.path.join(backbone_dir, "config.json")) as f:
+        bcfg = json.load(f)
+    if bcfg.get("format") != QWEN2_BACKBONE_FORMAT:
+        raise ValueError(f"not a qwen2 backbone artifact: {backbone_dir}")
+    mk = bcfg["model"]
+    emb_token_id = mk["vocab_size"]
+    model = Query2Embedding(
+        vocab_size=mk["vocab_size"] + 1, emb_token_id=emb_token_id,
+        d_model=mk["d_model"], n_layers=mk["n_layers"],
+        n_heads=mk["n_heads"], n_kv_heads=mk["n_kv_heads"],
+        ff_dim=mk["ff_dim"], max_len=max_len, alpha=alpha, dtype=dtype)
+    ckptr = ocp.StandardCheckpointer()
+    lm_params = ckptr.restore(
+        os.path.join(os.path.abspath(backbone_dir), "params"))
+    rng, r1 = jax.random.split(rng)
+    lm_params = resize_token_embeddings(lm_params, mk["vocab_size"] + 1, r1)
+    params = {"lm": lm_params,
+              "tau": jnp.asarray(0.05, jnp.float32)}
+    return model, params, emb_token_id

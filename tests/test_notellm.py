@@ -100,3 +100,45 @@ def test_notellm_trainer_e2e(tmp_path):
     gin.bind_parameter("train.save_dir_root", str(tmp_path))
     m = train()
     assert "acc@10" in m and 0.0 <= m["acc@10"] <= 1.0
+
+
+def test_query2embedding_from_backbone(tmp_path):
+    """NoteLLM on a converted Qwen2 backbone: pretrained rows preserved,
+    [EMB] appended, forward + contrastive loss run."""
+    import pytest
+    pytest.importorskip("torch")
+    import torch
+    from transformers import Qwen2Config
+    from transformers.models.qwen2 import Qwen2ForCausalLM
+    from safetensors.torch import save_file
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    cfg = Qwen2Config(vocab_size=64, hidden_size=32, intermediate_size=48,
+                      num_hidden_layers=1, num_attention_heads=2,
+                      num_key_value_heads=2, tie_word_embeddings=True,
+                      eos_token_id=2)
+    torch.manual_seed(0)
+    hf = Qwen2ForCausalLM(cfg)
+    cfg.save_pretrained(str(hf_dir))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"},
+              str(hf_dir / "model.safetensors"))
+    from genrec_tpu.interop import convert_qwen2_checkpoint
+    bb = tmp_path / "bb"
+    convert_qwen2_checkpoint(str(hf_dir), str(bb))
+
+    from genrec_tpu.models.notellm import query2embedding_from_backbone
+    model, params, emb_id = query2embedding_from_backbone(
+        str(bb), jax.random.PRNGKey(0), max_len=32)
+    assert emb_id == 64
+    assert params["lm"]["wte"].shape == (65, 32)
+    np.testing.assert_allclose(
+        np.asarray(params["lm"]["wte"][:64]),
+        hf.model.embed_tokens.weight.detach().numpy(), rtol=1e-6)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 64, (4, 12)).astype(np.int32)
+    ids[:, -1] = emb_id
+    out = model.apply({"params": params}, jnp.asarray(ids))
+    assert np.isfinite(float(out.loss))
+    assert out.embeddings.shape == (4, 32)
