@@ -40,6 +40,11 @@ NEG_INF = -1e9
 INTERPRET = False   # tests flip this to run the kernels on CPU
 
 
+def _disabled() -> bool:
+    import os
+    return os.environ.get("GENREC_TPU_NO_FUSED_KERNELS", "") not in ("", "0")
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -218,6 +223,8 @@ _fused_softmax.defvjp(_fused_softmax_fwd, _fused_softmax_bwd)
 
 
 def fused_softmax_supported(platform: Optional[str] = None) -> bool:
+    if _disabled():
+        return False
     if INTERPRET:
         return True
     return (platform or jax.default_backend()) == "tpu"
@@ -269,6 +276,8 @@ def fused_attention_xla(q, k, v, bias, kpad, seed, rate: float,
 
 def fused_attention_supported(q_shape, n_heads: int,
                               platform: Optional[str] = None) -> bool:
+    if _disabled():
+        return False
     if not INTERPRET:
         platform = platform or jax.default_backend()
         if platform != "tpu":

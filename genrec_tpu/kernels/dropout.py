@@ -88,6 +88,9 @@ _fused_dropout.defvjp(_fused_dropout_fwd, _fused_dropout_bwd)
 
 
 def fused_dropout_supported(platform=None) -> bool:
+    from .attention import _disabled
+    if _disabled():
+        return False
     if INTERPRET:
         return True
     return (platform or jax.default_backend()) == "tpu"
