@@ -12,6 +12,7 @@ Usage: python bench.py [--smoke] [--steps N] [--batch N]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -64,7 +65,7 @@ def bench_tiger(batch_size: int, steps: int, warmup: int, small: bool,
     batch = {k: jax.device_put(v, batch_sharding(mesh))
              for k, v in batch.items()}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, rng):
         def loss_fn(p):
             out = model.apply({"params": p}, **batch, deterministic=False,

@@ -54,7 +54,9 @@ def main():
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
     state = TrainState.create(params, tx)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, rng):
         def loss_fn(p):
             out = model.apply({"params": p}, **batch, deterministic=False,
