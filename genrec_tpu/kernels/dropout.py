@@ -46,8 +46,10 @@ def _mask_kernel(seed_ref, x_ref, y_ref, *, rate: float):
 
 def _run(x2d, seed, rate):
     n, d = x2d.shape
-    # ~0.5 MB blocks: enough rows to amortise grid overhead, small in VMEM
+    # ~0.5 MB blocks: enough rows to amortise grid overhead, small in VMEM;
+    # never pad beyond the input's own 8-row round-up
     bn = max(8, ((1 << 18) // max(d, 1)) // 8 * 8)
+    bn = min(bn, _round_up(n, 8))
     np_ = _round_up(n, bn)
     xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
     out = pl.pallas_call(
