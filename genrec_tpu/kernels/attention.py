@@ -307,6 +307,10 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         kpad = jnp.zeros((B, Sk), jnp.float32)
     bias = bias.astype(jnp.float32)
     kpad = kpad.astype(jnp.float32)
+    # microscopic score matrices (decoder self/cross at sem-id depth 3-4)
+    # aren't worth a kernel launch — XLA's fusions handle them in-place
+    if Sq * Sk < 1024:
+        force_xla = True
     if force_xla or not fused_attention_supported(q.shape, n_heads):
         return fused_attention_xla(q, k, v, bias, kpad, seed,
                                    dropout_rate, n_heads)
