@@ -175,7 +175,9 @@ def test_fused_dropout_backward_regenerates_identical_mask(interpret_dropout):
 
 def test_fused_attention_dropout_fwd_bwd_mask_match(interpret_dropout):
     rng = np.random.default_rng(2)
-    q = jnp.asarray(rng.normal(size=(4, 16, 128)), jnp.float32)
+    # Sq·Sk ≥ 1024 so the kernel path (not the small-matrix XLA shortcut)
+    # is exercised
+    q = jnp.asarray(rng.normal(size=(4, 32, 128)), jnp.float32)
     out1 = fattn.fused_attention(q, q, q, None, None, n_heads=4, seed=9,
                                  dropout_rate=0.5)
     out2 = fattn.fused_attention(q, q, q, None, None, n_heads=4, seed=9,
