@@ -40,9 +40,11 @@ NEG_INF = -1e9
 INTERPRET = False   # tests flip this to run the kernels on CPU
 
 
-def _disabled() -> bool:
+def _disabled(extra_var: str = "") -> bool:
     import os
-    return os.environ.get("GENREC_TPU_NO_FUSED_KERNELS", "") not in ("", "0")
+    if os.environ.get("GENREC_TPU_NO_FUSED_KERNELS", "") not in ("", "0"):
+        return True
+    return bool(extra_var) and os.environ.get(extra_var, "") not in ("", "0")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -223,7 +225,7 @@ _fused_softmax.defvjp(_fused_softmax_fwd, _fused_softmax_bwd)
 
 
 def fused_softmax_supported(platform: Optional[str] = None) -> bool:
-    if _disabled():
+    if _disabled("GENREC_TPU_NO_FUSED_ATTENTION"):
         return False
     if INTERPRET:
         return True
@@ -276,7 +278,7 @@ def fused_attention_xla(q, k, v, bias, kpad, seed, rate: float,
 
 def fused_attention_supported(q_shape, n_heads: int,
                               platform: Optional[str] = None) -> bool:
-    if _disabled():
+    if _disabled("GENREC_TPU_NO_FUSED_ATTENTION"):
         return False
     if not INTERPRET:
         platform = platform or jax.default_backend()
