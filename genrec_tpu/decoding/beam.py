@@ -89,11 +89,12 @@ def beam_search(
         trie_children = jnp.asarray(trie.children)
         trie_legal = jnp.asarray(trie.legal)
 
-    # packed mode: a beam's node is its radix-K prefix *key* (int64, root=0)
+    # packed mode: a beam's node is its prefix's index in the previous
+    # level's sorted key array (int32, root=0)
     state = BeamState(
         seqs=jnp.zeros((B, K, C), jnp.int32),
         logps=jnp.zeros((B, K), jnp.float32),
-        nodes=(jnp.zeros((B, K), jnp.int64) if packed is not None
+        nodes=(jnp.zeros((B, K), jnp.int32) if packed is not None
                else jnp.full((B, K), ROOT, jnp.int32)))
 
     for step in range(C):
@@ -102,9 +103,8 @@ def beam_search(
         logits = logits.astype(jnp.float32)
 
         if packed is not None:
-            cand = (state.nodes.reshape(-1)[:, None]
-                    * packed.num_tokens
-                    + jnp.arange(num_tokens, dtype=jnp.int64)[None])
+            cand = (state.nodes.reshape(-1)[:, None] * packed.num_tokens
+                    + jnp.arange(num_tokens, dtype=jnp.int32)[None])
             legal = packed_membership(level_keys[step], cand)  # (B*K, V)
             logits = jnp.where(legal, logits, NEG)
         elif trie_legal is not None:
@@ -143,8 +143,9 @@ def beam_search(
         new_seqs = new_seqs.at[:, :, step].set(top_tok)
         if packed is not None:
             parent_nodes = state.nodes[batch_ix, top_parent]
-            new_nodes = (parent_nodes * packed.num_tokens
-                         + top_tok.astype(jnp.int64))
+            chosen = parent_nodes * packed.num_tokens + top_tok
+            new_nodes = jnp.searchsorted(
+                level_keys[step], chosen).astype(jnp.int32)
         elif trie_children is not None:
             parent_nodes = state.nodes[batch_ix, top_parent]
             new_nodes = trie_children[parent_nodes, top_tok]

@@ -87,15 +87,17 @@ class PackedTrie(NamedTuple):
 
     The dense automaton is O(n_nodes × K): at production scale (200k items,
     4 levels, K=256) that is ~0.6 GB of ``children`` alone. Here a beam's
-    "node" is the integer *key* of its prefix (``key = Σ tokenᶜ·K^…``,
-    radix-K positional encoding); legality of token ``t`` at level ``c`` is
-    membership of ``key·K + t`` in the sorted array of level-(c+1) prefix
-    keys (vectorized binary search), and the advance is pure arithmetic.
-    Total memory is O(Σ #prefixes) ≈ items × depth × 8 bytes (~6 MB at the
-    same scale) — a 100× reduction, traded for log₂(N) gather steps per
-    level inside the compiled search.
+    "node" is the *index* of its prefix in the previous level's sorted key
+    array; a level's keys are ``parent_index·K + token`` (re-based each
+    level so keys stay ≤ items·K — int32-safe; raw radix keys would
+    overflow int32 at 256⁴ and JAX silently truncates int64 without x64
+    mode). Legality of token ``t`` is membership of ``node·K + t`` in the
+    level's sorted keys (vectorized binary search) and the advance is the
+    found position. Total memory is O(Σ #prefixes) ≈ items × depth × 4
+    bytes (~3 MB at the same scale, ~200× below dense), traded for
+    log₂(N) gather steps per level inside the compiled search.
     """
-    level_keys: tuple          # level c → sorted int64 keys, length c+1
+    level_keys: tuple          # level c → sorted int32 re-based keys
     depth: int
     num_tokens: int
 
@@ -109,13 +111,16 @@ def build_packed_trie(valid_ids: np.ndarray, num_tokens: int) -> PackedTrie:
     N, C = valid_ids.shape
     if np.any(valid_ids < 0) or np.any(valid_ids >= num_tokens):
         raise ValueError("valid_ids out of range for num_tokens")
-    if num_tokens ** C >= 2 ** 62:
-        raise ValueError("depth × log2(num_tokens) exceeds int64 keys")
-    keys = np.zeros(N, np.int64)
+    if N * num_tokens >= 2 ** 31:
+        raise ValueError(
+            f"{N} items × {num_tokens} tokens exceeds int32 packed keys")
+    parent_idx = np.zeros(N, np.int64)
     level_keys = []
     for c in range(C):
-        keys = keys * num_tokens + valid_ids[:, c]
-        level_keys.append(np.unique(keys))
+        cand = parent_idx * num_tokens + valid_ids[:, c]
+        uniq = np.unique(cand)
+        level_keys.append(uniq.astype(np.int32))
+        parent_idx = np.searchsorted(uniq, cand)
     return PackedTrie(level_keys=tuple(level_keys), depth=C,
                       num_tokens=num_tokens)
 

@@ -199,3 +199,37 @@ def test_packed_trie_memory_at_production_scale():
     from genrec_tpu.decoding.trie import PackedTrie, TrieTables
     assert isinstance(build_trie(valid, K), PackedTrie)
     assert isinstance(build_trie(valid[:500], K), TrieTables)
+
+
+def test_packed_trie_fewer_valid_than_beams_matches_dense():
+    """Dead/filler beams (fewer valid tuples than beams) must behave
+    identically in packed and dense modes."""
+    import jax.numpy as jnp
+
+    from genrec_tpu.decoding.beam import beam_search
+    from genrec_tpu.decoding.trie import (build_packed_trie,
+                                          build_trie_tables)
+    rng = np.random.default_rng(3)
+    K_tok, C, B, KB = 9, 3, 2, 6
+    valid = np.unique(rng.integers(0, K_tok, (3, C)), axis=0)  # < KB tuples
+    dense = build_trie_tables(valid, K_tok)
+    packed = build_packed_trie(valid, K_tok)
+    logits_tbl = jnp.asarray(rng.normal(size=(C, B, K_tok)), jnp.float32)
+
+    def decode_fn(prefix, step):
+        reps = prefix.shape[0] // B
+        return logits_tbl[step].repeat(reps, axis=0)
+
+    out_d = beam_search(decode_fn, B, KB, C, K_tok, trie=dense)
+    out_p = beam_search(decode_fn, B, KB, C, K_tok, trie=packed)
+    n_valid = len(valid)
+    # the real (non-filler) beams agree exactly
+    np.testing.assert_array_equal(
+        np.asarray(out_d.sem_ids)[:, :n_valid],
+        np.asarray(out_p.sem_ids)[:, :n_valid])
+    np.testing.assert_allclose(np.asarray(out_d.log_probas)[:, :n_valid],
+                               np.asarray(out_p.log_probas)[:, :n_valid],
+                               rtol=1e-6)
+    # filler beams are marked by collapsed scores in both modes
+    assert (np.asarray(out_p.log_probas)[:, n_valid:] < -1e30).all()
+    assert (np.asarray(out_d.log_probas)[:, n_valid:] < -1e30).all()
