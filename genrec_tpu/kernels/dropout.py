@@ -91,7 +91,7 @@ _fused_dropout.defvjp(_fused_dropout_fwd, _fused_dropout_bwd)
 
 def fused_dropout_supported(platform=None) -> bool:
     from .attention import _disabled
-    if _disabled():
+    if _disabled("GENREC_TPU_NO_FUSED_DROPOUT"):
         return False
     if INTERPRET:
         return True
