@@ -139,15 +139,20 @@ def _plan_blocks(h, sq, sk):
     """(bb, hb): the kernel holds ~6-8 fp32 intermediates of the block
     shape at once (upcast s, e, p, keep, g, ds + pipeline double-buffers);
     keep each ≲0.5 MB so the working set stays under the 16 MB VMEM scope.
-    Batch blocks stay multiples-of-8-friendly; heads split further for
-    long sequences."""
+    Batch blocks are powers of two so power-of-two batches are never
+    padded (a bb of e.g. 5 padded B=256 to 260 and cost ~0.5 ms of pad
+    ops per step — round-2 profile); heads split further for long
+    sequences."""
     tile = _round_up(sq, 8) * _round_up(sk, 8) * 4
     hb = h
     while hb > 1 and hb * tile > (512 << 10):
         hb = (hb + 1) // 2
     while h % hb:
         hb += 1
-    bb = max(1, min(8, (512 << 10) // max(hb * tile, 1)))
+    cap = min(8, max(1, (512 << 10) // max(hb * tile, 1)))
+    bb = 1
+    while bb * 2 <= cap:
+        bb *= 2
     return bb, hb
 
 
@@ -224,6 +229,71 @@ def _fused_softmax_bwd(scale, rate, res, g):
 _fused_softmax.defvjp(_fused_softmax_fwd, _fused_softmax_bwd)
 
 
+# ---------------------------------------------------------------------------
+# pure-XLA variant: same math, no custom call
+# ---------------------------------------------------------------------------
+#
+# The pallas kernel wins on HBM bytes in isolation, but its custom call
+# pins operand/result layouts: on hardware the round-2 profile showed XLA
+# inserting ~2.9 ms/step of layout copies around the kernel boundary at the
+# TIGER paper config (q·kᵀ outputs re-tiled before the call, p re-tiled
+# after). This variant expresses the identical chain — fp32 upcast+scale,
+# additive bias/key-padding, fp32 softmax, counter-hash dropout — as plain
+# XLA ops inside the surrounding fusion, and gets the same "nothing hits
+# HBM twice" property from a `custom_vjp` that *recomputes* the softmax
+# from the saved bf16 raw scores instead of storing fp32 probabilities.
+# The hash keep-mask is a handful of elementwise uint32 ops regenerated in
+# the backward, so neither rng bits nor pred masks ever materialise.
+
+def _hash_softmax_probs(s, bias, kpad, scale):
+    sf = s.astype(jnp.float32) * scale
+    sf = sf + bias[None] + kpad[:, None, None, :]
+    return jax.nn.softmax(sf, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _hash_softmax(s, bias, kpad, seed, scale, rate):
+    return _hash_softmax_fwd(s, bias, kpad, seed, scale, rate)[0]
+
+
+def _hash_softmax_fwd(s, bias, kpad, seed, scale, rate):
+    p = _hash_softmax_probs(s, bias, kpad, scale)
+    if rate > 0.0:
+        keep = hash_keep_mask(seed, jnp.uint32(0), p.shape, rate)
+        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    return p.astype(s.dtype), (s, bias, kpad, seed)
+
+
+def _hash_softmax_bwd(scale, rate, res, g):
+    s, bias, kpad, seed = res
+    p = _hash_softmax_probs(s, bias, kpad, scale)
+    g = g.astype(jnp.float32)
+    if rate > 0.0:
+        keep = hash_keep_mask(seed, jnp.uint32(0), p.shape, rate)
+        g = jnp.where(keep, g * (1.0 / (1.0 - rate)), 0.0)
+    ds = p * (g - jnp.sum(g * p, axis=-1, keepdims=True))
+    dbias = jnp.sum(ds, axis=0)
+    dseed = np.zeros((), jax.dtypes.float0)
+    return (ds * scale).astype(s.dtype), dbias, jnp.zeros_like(kpad), dseed
+
+
+_hash_softmax.defvjp(_hash_softmax_fwd, _hash_softmax_bwd)
+
+
+def _attention_backend() -> str:
+    """'pallas' | 'xla_hash': which fused-softmax implementation to use.
+
+    Default is the pure-XLA hash variant (wins the hardware A/B once the
+    custom-call layout copies are accounted for); ``GENREC_TPU_ATTN_PALLAS=1``
+    selects the pallas kernel, and the interpreter tests always exercise
+    the pallas body."""
+    import os
+    if INTERPRET or os.environ.get("GENREC_TPU_ATTN_PALLAS", "") \
+            not in ("", "0"):
+        return "pallas"
+    return "xla_hash"
+
+
 def fused_softmax_supported(platform: Optional[str] = None) -> bool:
     if _disabled("GENREC_TPU_NO_FUSED_ATTENTION"):
         return False
@@ -239,9 +309,10 @@ def fused_softmax(s, bias, kpad, seed, scale: float, rate: float = 0.0):
     additive, batch-independent; kpad: (B, Sk) fp32 additive. Used
     directly by the decoder-only LLM path (llm.py), where the causal mask
     is batch-independent and padding decomposes per key."""
-    return _fused_softmax(s, bias.astype(jnp.float32),
-                          kpad.astype(jnp.float32),
-                          jnp.asarray(seed, jnp.int32), scale, rate)
+    impl = (_fused_softmax if _attention_backend() == "pallas"
+            else _hash_softmax)
+    return impl(s, bias.astype(jnp.float32), kpad.astype(jnp.float32),
+                jnp.asarray(seed, jnp.int32), scale, rate)
 
 
 # ---------------------------------------------------------------------------
@@ -320,8 +391,10 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kh = k.reshape(B, Sk, n_heads, dh)
     vh = v.reshape(B, Sk, n_heads, dh)
     s_raw = jnp.einsum("bqhd,bkhd->bhqk", qh, kh)     # model dtype
-    p = _fused_softmax(s_raw, bias, kpad, jnp.asarray(seed, jnp.int32),
-                       dh ** -0.5, dropout_rate)
+    impl = (_fused_softmax if _attention_backend() == "pallas"
+            else _hash_softmax)
+    p = impl(s_raw, bias, kpad, jnp.asarray(seed, jnp.int32),
+             dh ** -0.5, dropout_rate)
     o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), vh,
                    preferred_element_type=jnp.float32).astype(q.dtype)
     return o.reshape(B, Sq, HD)

@@ -89,6 +89,53 @@ def _fused_dropout_bwd(rate, res, g):
 _fused_dropout.defvjp(_fused_dropout_fwd, _fused_dropout_bwd)
 
 
+# ---------------------------------------------------------------------------
+# pure-XLA variant: the default dropout backend
+# ---------------------------------------------------------------------------
+#
+# Hardware A/B (round 2) showed the *standalone pallas* dropout kernel is a
+# net loss at FFN/residual sites: XLA fuses plain dropout's mask application
+# into the producing/consuming fusions, and a custom call in the middle
+# splits them. But plain ``jax.random.bernoulli`` dropout still pays for a
+# uint32 rng-bit tensor per site plus a pred mask saved for (and re-read by)
+# the backward — ~1.2 ms/step of pure traffic at the TIGER paper config.
+# This variant gets both properties at once: the counter-hash keep-mask is
+# a handful of elementwise uint32 ops that *join* the producer/consumer
+# fusion (no custom call, no rng tensor), and the custom VJP regenerates
+# the mask in the backward so no pred is ever stored. Pure XLA, so it runs
+# identically on TPU and CPU.
+
+def _hash_apply(x, seed, rate):
+    keep = hash_keep_mask(seed, jnp.uint32(0), x.shape, rate)
+    scale = jnp.asarray(1.0 / (1.0 - rate), x.dtype)
+    return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _hash_dropout(x, seed, rate):
+    return _hash_dropout_fwd(x, seed, rate)[0]
+
+
+def _hash_dropout_fwd(x, seed, rate):
+    return _hash_apply(x, seed, rate), (seed,)
+
+
+def _hash_dropout_bwd(rate, res, g):
+    (seed,) = res
+    return _hash_apply(g, seed, rate), np.zeros((), jax.dtypes.float0)
+
+
+_hash_dropout.defvjp(_hash_dropout_fwd, _hash_dropout_bwd)
+
+
+def hash_dropout(x: jnp.ndarray, seed, rate: float) -> jnp.ndarray:
+    """``x * bernoulli(1-rate) / (1-rate)`` as fusable XLA elementwise ops:
+    no rng-bit tensor, no stored mask (regenerated in the backward)."""
+    if rate <= 0.0:
+        return x
+    return _hash_dropout(x, jnp.asarray(seed, jnp.int32), rate)
+
+
 def fused_dropout_supported(platform=None) -> bool:
     from .attention import _disabled
     if _disabled("GENREC_TPU_NO_FUSED_DROPOUT"):

@@ -1,17 +1,23 @@
-"""Drop-in Flax dropout module with an optional fused-TPU-kernel backend.
+"""Drop-in Flax dropout module with selectable TPU-tuned backends.
 
 Same call contract as ``flax.linen.Dropout`` (``__call__(x,
 deterministic=...)``, draws from the ``"dropout"`` rng stream).
 
-Backend policy (measured on v5e, round-2 A/B): XLA *fuses* the mask
-application into the producing/consuming fusions, so although the
-standalone pallas dropout kernel moves fewer bytes in isolation, inserting
-it SPLITS those fusions and forces extra materialisations of the
-activation tensors — a net loss on the TIGER step (13.2k vs 17.3k ex/s).
-The fused kernel therefore stays opt-in (``GENREC_TPU_FUSED_DROPOUT=1``,
-or the interpreter tests); the default is plain ``nn.Dropout``. The
-attention-probability dropout is different — it lives *inside* the fused
-softmax kernel where there is no XLA fusion to break.
+Backend policy (measured on v5e, round-2 A/B):
+
+- default — **pure-XLA counter-hash dropout** (``kernels.dropout.
+  hash_dropout``): the murmur3 keep-mask is a few elementwise uint32 ops
+  that fuse into the producing/consuming XLA fusions, and the custom VJP
+  regenerates the mask in the backward. No rng-bit tensor, no stored pred
+  mask — removes the ~1.2 ms/step of dropout traffic that plain
+  ``jax.random.bernoulli`` dropout paid at the TIGER paper config, without
+  the fusion-splitting custom call below.
+- ``GENREC_TPU_FUSED_DROPOUT=1`` — the standalone pallas kernel. Moves the
+  fewest bytes in isolation but its custom call SPLITS the surrounding XLA
+  fusions and loses net (13.2k vs 17.3k ex/s on the TIGER step); kept for
+  A/B and as the interpreter-test target.
+- ``GENREC_TPU_NO_HASH_DROPOUT=1`` (or ``GENREC_TPU_NO_FUSED_KERNELS=1``)
+  — plain ``flax.linen.Dropout`` (threefry / hardware-RNG bernoulli).
 """
 
 from __future__ import annotations
@@ -22,14 +28,21 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from genrec_tpu.kernels.dropout import _fused_dropout, fused_dropout_supported
+from genrec_tpu.kernels.attention import _disabled
+from genrec_tpu.kernels.dropout import (_fused_dropout, fused_dropout_supported,
+                                        hash_dropout)
 
 
-def _use_fused_module() -> bool:
+def _backend() -> str:
     if os.environ.get("GENREC_TPU_FUSED_DROPOUT", "") not in ("", "0"):
-        return fused_dropout_supported()
+        if fused_dropout_supported():
+            return "pallas"
     import genrec_tpu.kernels.dropout as fd
-    return fd.INTERPRET   # tests exercise the kernel body on CPU
+    if fd.INTERPRET:   # tests exercise the pallas kernel body on CPU
+        return "pallas"
+    if _disabled("GENREC_TPU_NO_HASH_DROPOUT"):
+        return "plain"
+    return "hash"
 
 
 class Dropout(nn.Module):
@@ -39,9 +52,12 @@ class Dropout(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         if deterministic or self.rate <= 0.0:
             return x
-        if not _use_fused_module():
+        backend = _backend()
+        if backend == "plain":
             return nn.Dropout(self.rate, name="inner")(x,
                                                        deterministic=False)
         seed = jax.random.randint(self.make_rng("dropout"), (), 0,
                                   2 ** 31 - 1)
-        return _fused_dropout(x, jnp.asarray(seed, jnp.int32), self.rate)
+        if backend == "pallas":
+            return _fused_dropout(x, jnp.asarray(seed, jnp.int32), self.rate)
+        return hash_dropout(x, seed, self.rate)

@@ -1,33 +1,35 @@
-"""TPU-hardware validation of the Pallas kernels (driver-runnable).
+"""TPU-hardware validation of the fused kernels (driver-runnable).
 
-Checks the fused-attention/dropout kernels' real-TPU paths
-(tests/test_kernels.py exercises the same bodies via the CPU interpreter):
-forward/grad parity vs the XLA fallback, dropout statistics, seed
-reproducibility and fwd/bwd mask identity, plus the nearest-codeword
-kernel. Exits non-zero on any failure.
+Checks BOTH fused-softmax attention backends — the default pure-XLA
+counter-hash path and the opt-in pallas kernel (``GENREC_TPU_ATTN_PALLAS``)
+— plus the hash/pallas dropout variants and the nearest-codeword kernel
+(tests/test_kernels.py exercises the same bodies on CPU): forward/grad
+parity vs the XLA oracle, dropout statistics, seed reproducibility and
+fwd/bwd mask identity. Exits non-zero on any failure.
 
 Usage: PYTHONPATH=/root/repo python scripts/tpu_kernel_check.py
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
+failures = []
 
-def main():
+
+def check(name, ok, detail=""):
+    print(f"{'PASS' if ok else 'FAIL'} {name} {detail}", flush=True)
+    if not ok:
+        failures.append(name)
+
+
+def check_attention_backend(tag):
     import jax
     import jax.numpy as jnp
     import genrec_tpu.kernels.attention as A
-
-    assert jax.default_backend() == "tpu", jax.default_backend()
-    failures = []
-
-    def check(name, ok, detail=""):
-        print(f"{'PASS' if ok else 'FAIL'} {name} {detail}", flush=True)
-        if not ok:
-            failures.append(name)
 
     rng = np.random.default_rng(0)
     B, Sq, Sk, H, Dh = 32, 61, 61, 6, 64
@@ -42,7 +44,7 @@ def main():
     out_k = np.asarray(A.fused_attention(q, k, v, bias, kpad, n_heads=H))
     out_x = np.asarray(A.fused_attention_xla(q, k, v, bias, kpad, 0, 0.0, H))
     diff = np.abs(out_k - out_x).max()
-    check("attention_fwd_fp32", diff < 1e-4, f"maxdiff={diff:.2e}")
+    check(f"{tag}_fwd_fp32", diff < 1e-4, f"maxdiff={diff:.2e}")
 
     # forward parity (bf16 inputs)
     qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
@@ -51,7 +53,7 @@ def main():
     out_xb = np.asarray(A.fused_attention_xla(qb, kb, vb, bias, kpad, 0,
                                               0.0, H), np.float32)
     diffb = np.abs(out_kb - out_xb).max()
-    check("attention_fwd_bf16", diffb < 3e-2, f"maxdiff={diffb:.2e}")
+    check(f"{tag}_fwd_bf16", diffb < 3e-2, f"maxdiff={diffb:.2e}")
 
     # gradient parity
     def lk(q, k, v, bias):
@@ -65,9 +67,9 @@ def main():
     gx = jax.grad(lx, argnums=(0, 1, 2, 3))(q, k, v, bias)
     for a, b, nm in zip(gk, gx, ["dq", "dk", "dv", "dbias"]):
         m = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
-        check(f"attention_grad_{nm}", m < 1e-3, f"relmax={m:.2e}")
+        check(f"{tag}_grad_{nm}", m < 1e-3, f"relmax={m:.2e}")
 
-    # dropout: identity-ish value stats, determinism per seed
+    # dropout: determinism per seed, mean preservation
     rate = 0.5
     d1 = A.fused_attention(q, k, v, bias, kpad, n_heads=H, seed=123,
                            dropout_rate=rate)
@@ -75,28 +77,23 @@ def main():
                            dropout_rate=rate)
     d3 = A.fused_attention(q, k, v, bias, kpad, n_heads=H, seed=124,
                            dropout_rate=rate)
-    check("attention_dropout_reproducible", bool(jnp.all(d1 == d2)))
-    check("attention_dropout_seed_sensitive", not bool(jnp.all(d1 == d3)))
-    # E[out] preserved: with v = ones, out rows are 2·Σ(kept p) whose
-    # expectation is exactly 1 — a clean statistic (the naive signed-mean
-    # ratio of a zero-mean tensor is 0/0 noise)
+    check(f"{tag}_dropout_reproducible", bool(jnp.all(d1 == d2)))
+    check(f"{tag}_dropout_seed_sensitive", not bool(jnp.all(d1 == d3)))
+    # E[out] preserved: with v = ones, out rows are Σ(kept p / kp) whose
+    # expectation is exactly 1
     ones = jnp.ones_like(v)
     do_mean = float(jnp.mean(A.fused_attention(
         q, k, ones, bias, kpad, n_heads=H, seed=123, dropout_rate=rate)))
-    check("attention_dropout_mean_preserved", abs(do_mean - 1.0) < 0.05,
+    check(f"{tag}_dropout_mean_preserved", abs(do_mean - 1.0) < 0.05,
           f"mean={do_mean:.4f} (expect 1.0)")
     g = jax.grad(lambda q: jnp.sum(A.fused_attention(
         q, k, v, bias, kpad, n_heads=H, seed=7,
         dropout_rate=rate) ** 2))(q)
-    check("attention_dropout_grad_finite", bool(jnp.isfinite(g).all()))
+    check(f"{tag}_dropout_grad_finite", bool(jnp.isfinite(g).all()))
 
-    # fwd/bwd dropout mask consistency: for a linear function of v,
-    # out == (mask∘p/kp) @ v, so d(sum(out))/dv == column sums of the
-    # dropped probs; check grad matches a VJP through the forward's own
-    # output by finite differences on one coordinate
-    # out is linear in v at fixed seed, so any eps is exact — use a large
-    # one so the secant difference dominates fp32 accumulation noise of the
-    # 750k-element sums
+    # fwd/bwd dropout mask consistency: out is linear in v at fixed seed, so
+    # the secant difference is exact — use a large eps so it dominates fp32
+    # accumulation noise of the 750k-element sums
     eps = 64.0
     gv = jax.grad(lambda v: jnp.sum(A.fused_attention(
         q, k, v, bias, kpad, n_heads=H, seed=7, dropout_rate=rate)))(v)
@@ -107,26 +104,49 @@ def main():
                                    seed=7, dropout_rate=rate))
     fd = float((f2 - f1) / eps)
     an = float(gv[0, 0, 0])
-    check("attention_dropout_fwd_bwd_mask_match",
+    check(f"{tag}_dropout_fwd_bwd_mask_match",
           abs(fd - an) < 0.05 * max(1.0, abs(an)),
           f"fd={fd:.4f} analytic={an:.4f}")
 
-    # fused dropout kernel
-    from genrec_tpu.kernels.dropout import fused_dropout
+
+def check_dropout_fn(fn, tag):
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(1)
     xx = jnp.asarray(rng.normal(size=(256, 61, 384)), jnp.bfloat16)
-    y1 = fused_dropout(xx, 5, 0.3)
-    y2 = fused_dropout(xx, 5, 0.3)
-    check("dropout_reproducible", bool(jnp.all(y1 == y2)))
+    y1 = fn(xx, 5, 0.3)
+    y2 = fn(xx, 5, 0.3)
+    check(f"{tag}_reproducible", bool(jnp.all(y1 == y2)))
     frac = float((np.asarray(y1, np.float32) == 0).mean())
-    check("dropout_frac", abs(frac - 0.3) < 0.01, f"frac={frac:.4f}")
+    check(f"{tag}_frac", abs(frac - 0.3) < 0.01, f"frac={frac:.4f}")
     w = jnp.asarray(rng.normal(size=xx.shape), jnp.bfloat16)
-    gm = jax.grad(lambda x: jnp.sum((fused_dropout(x, 5, 0.3)
+    gm = jax.grad(lambda x: jnp.sum((fn(x, 5, 0.3)
                                      * w).astype(jnp.float32)))(xx)
     same = bool(jnp.all((np.asarray(gm, np.float32) == 0)
                         == (np.asarray(y1, np.float32) == 0)))
-    check("dropout_bwd_mask_identity", same)
+    check(f"{tag}_bwd_mask_identity", same)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import genrec_tpu.kernels.attention as A
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+
+    assert A._attention_backend() == "xla_hash"
+    check_attention_backend("attn_hash")
+    os.environ["GENREC_TPU_ATTN_PALLAS"] = "1"
+    assert A._attention_backend() == "pallas"
+    check_attention_backend("attn_pallas")
+    del os.environ["GENREC_TPU_ATTN_PALLAS"]
+
+    from genrec_tpu.kernels.dropout import fused_dropout, hash_dropout
+    check_dropout_fn(hash_dropout, "hash_dropout")
+    check_dropout_fn(fused_dropout, "pallas_dropout")
 
     # nearest-codeword kernel (TPU path)
+    rng = np.random.default_rng(0)
     from genrec_tpu.kernels.codebook import (nearest_codeword,
                                              nearest_codeword_xla)
     x = jnp.asarray(rng.normal(size=(4096, 64)), jnp.float32)
@@ -135,16 +155,14 @@ def main():
     ids2, _ = nearest_codeword_xla(x, c)
     check("nearest_codeword_tpu", bool(jnp.all(ids == ids2)))
 
-    # micro-benchmark: fused vs XLA attention fwd+bwd
-    B2 = 256
+    # micro-benchmark: hash vs pallas vs plain attention fwd+bwd
+    B2, Sq, Sk, H, Dh = 256, 61, 61, 6, 64
+    bias = jnp.asarray(rng.normal(size=(H, Sq, Sk)), jnp.float32)
     qq = jnp.asarray(rng.normal(size=(B2, Sq, H * Dh)), jnp.bfloat16)
-    f_fused = jax.jit(jax.grad(lambda q: jnp.sum(A.fused_attention(
-        q, qq, qq, bias, None, n_heads=H, seed=3, dropout_rate=0.1))))
-    f_xla = jax.jit(jax.grad(lambda q: jnp.sum(A.fused_attention_xla(
-        q, qq, qq, bias, jnp.zeros((B2, Sk)), 3, 0.1, H))))
-    # chain 50 calls inside one jit so the axon per-dispatch overhead
-    # (~20 ms) doesn't swamp the sub-ms kernels
-    for f, nm in [(f_fused, "fused"), (f_xla, "xla")]:
+
+    def bench(f, nm):
+        # chain 50 calls inside one jit so the axon per-dispatch overhead
+        # (~20 ms) doesn't swamp the sub-ms kernels
         chain = jax.jit(lambda q0: jax.lax.scan(
             lambda c, _: (f(c) * 1e-3 + qq, None), q0, None, length=50)[0])
         r = chain(qq)
@@ -155,6 +173,18 @@ def main():
         dt = (time.perf_counter() - t0) / 50
         print(f"bench attention fwd+bwd {nm}: {dt*1e3:.3f} ms/call",
               flush=True)
+
+    f_hash = jax.grad(lambda q: jnp.sum(A.fused_attention(
+        q, qq, qq, bias, None, n_heads=H, seed=3, dropout_rate=0.1)))
+    f_xla = jax.grad(lambda q: jnp.sum(A.fused_attention_xla(
+        q, qq, qq, bias, jnp.zeros((B2, Sk)), 3, 0.1, H)))
+    bench(f_hash, "hash")
+    bench(f_xla, "xla")
+    os.environ["GENREC_TPU_ATTN_PALLAS"] = "1"
+    f_pallas = jax.grad(lambda q: jnp.sum(A.fused_attention(
+        q, qq, qq, bias, None, n_heads=H, seed=3, dropout_rate=0.1)))
+    bench(f_pallas, "pallas")
+    del os.environ["GENREC_TPU_ATTN_PALLAS"]
 
     print(f"\n{len(failures)} failures", flush=True)
     sys.exit(1 if failures else 0)

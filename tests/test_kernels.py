@@ -195,12 +195,140 @@ def test_fused_attention_dropout_fwd_bwd_mask_match(interpret_dropout):
     np.testing.assert_allclose(float(fd), float(gv[0, 0, 0]), rtol=2e-2)
 
 
-def test_hwdropout_module_cpu_fallback():
-    """Off-TPU (no INTERPRET) the module defers to flax nn.Dropout."""
-    from genrec_tpu.nn.dropout import Dropout
+def test_hwdropout_module_default_backend():
+    """The module's default backend (pure-XLA hash dropout) drops ~rate and
+    is a passthrough when deterministic."""
+    from genrec_tpu.nn.dropout import Dropout, _backend
+    assert _backend() == "hash"
     x = jnp.ones((4, 8))
     mod = Dropout(0.5)
     y = mod.apply({}, x, deterministic=False,
                   rngs={"dropout": jax.random.PRNGKey(0)})
     assert float((np.asarray(y) == 0).mean()) > 0.2
     assert bool(jnp.all(mod.apply({}, x, deterministic=True) == x))
+
+
+def test_hwdropout_module_plain_fallback(monkeypatch):
+    """GENREC_TPU_NO_HASH_DROPOUT reverts to flax nn.Dropout."""
+    from genrec_tpu.nn.dropout import Dropout, _backend
+    monkeypatch.setenv("GENREC_TPU_NO_HASH_DROPOUT", "1")
+    assert _backend() == "plain"
+    x = jnp.ones((4, 8))
+    y = Dropout(0.5).apply({}, x, deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(0)})
+    assert float((np.asarray(y) == 0).mean()) > 0.2
+
+
+# ---------------------------------------------------------------------------
+# pure-XLA hash dropout / hash softmax (the default TPU attention backend)
+# ---------------------------------------------------------------------------
+
+
+def test_hash_dropout_mask_properties():
+    from genrec_tpu.kernels.dropout import hash_dropout
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(37, 61, 384)), jnp.float32)
+    y = hash_dropout(x, 5, 0.3)
+    assert bool(jnp.all(y == hash_dropout(x, 5, 0.3)))       # reproducible
+    assert not bool(jnp.all(y == hash_dropout(x, 6, 0.3)))   # seed matters
+    frac = float((y == 0).mean())
+    assert abs(frac - 0.3) < 0.01, frac                      # drop fraction
+    kept = np.asarray(y) != 0
+    np.testing.assert_allclose(np.asarray(y)[kept],
+                               np.asarray(x)[kept] / 0.7, rtol=1e-6)
+
+
+def test_hash_dropout_backward_regenerates_identical_mask():
+    from genrec_tpu.kernels.dropout import hash_dropout
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(16, 25, 96)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+    y = hash_dropout(x, 11, 0.4)
+    g = jax.grad(lambda x: jnp.sum(hash_dropout(x, 11, 0.4) * w))(x)
+    assert bool(jnp.all((np.asarray(g) == 0) == (np.asarray(y) == 0)))
+    kept = np.asarray(y) != 0
+    np.testing.assert_allclose(np.asarray(g)[kept],
+                               np.asarray(w)[kept] / 0.6, rtol=1e-5)
+
+
+def _hash_softmax_oracle(s, bias, kpad, scale):
+    sf = s.astype(jnp.float32) * scale + bias[None] + kpad[:, None, None, :]
+    return jax.nn.softmax(sf, axis=-1).astype(s.dtype)
+
+
+def test_hash_softmax_matches_plain_softmax():
+    rng = np.random.default_rng(3)
+    s = jnp.asarray(rng.normal(size=(4, 6, 13, 17)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(6, 13, 17)), jnp.float32)
+    kpad = jnp.where(jnp.asarray(rng.random((4, 17)) < 0.2),
+                     -1e9, 0.0).astype(jnp.float32)
+    p = fattn._hash_softmax(s, bias, kpad, jnp.int32(0), 0.125, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(p), np.asarray(_hash_softmax_oracle(s, bias, kpad, 0.125)),
+        rtol=1e-6, atol=1e-6)
+
+
+def test_hash_softmax_recompute_backward_matches_autodiff():
+    """The custom VJP (recompute from raw scores) must equal plain autodiff
+    of the same chain at rate=0."""
+    rng = np.random.default_rng(4)
+    s = jnp.asarray(rng.normal(size=(3, 2, 9, 11)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(2, 9, 11)), jnp.float32)
+    kpad = jnp.zeros((3, 11), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 2, 9, 11)), jnp.float32)
+
+    def loss_hash(s, bias):
+        return jnp.sum(fattn._hash_softmax(s, bias, kpad, jnp.int32(0),
+                                           0.3, 0.0) * w)
+
+    def loss_oracle(s, bias):
+        return jnp.sum(_hash_softmax_oracle(s, bias, kpad, 0.3) * w)
+
+    gh = jax.grad(loss_hash, argnums=(0, 1))(s, bias)
+    go = jax.grad(loss_oracle, argnums=(0, 1))(s, bias)
+    for a, b, name in zip(gh, go, ["ds", "dbias"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_hash_softmax_dropout_fwd_bwd_mask_match():
+    """out = sum(p·w) is linear in w given a fixed mask: the analytic grad
+    (regenerated mask) must equal the forward's dropped pattern."""
+    rng = np.random.default_rng(5)
+    s = jnp.asarray(rng.normal(size=(2, 3, 8, 16)), jnp.float32)
+    bias = jnp.zeros((3, 8, 16), jnp.float32)
+    kpad = jnp.zeros((2, 16), jnp.float32)
+    p1 = fattn._hash_softmax(s, bias, kpad, jnp.int32(9), 0.25, 0.5)
+    p2 = fattn._hash_softmax(s, bias, kpad, jnp.int32(9), 0.25, 0.5)
+    assert bool(jnp.all(p1 == p2))
+    assert float((np.asarray(p1) == 0).mean()) > 0.3
+    # downstream weighting: d(sum(p·w))/dw = p — and p's zeros come from the
+    # forward mask, so the backward (which regenerates the mask for dL/ds)
+    # must produce ds that is zero wherever an entire row was dropped
+    w = jnp.asarray(rng.normal(size=s.shape), jnp.float32)
+    g = jax.grad(lambda s: jnp.sum(
+        fattn._hash_softmax(s, bias, kpad, jnp.int32(9), 0.25, 0.5) * w))(s)
+    assert np.isfinite(np.asarray(g)).all()
+    # finite-difference check through the VJP on one coordinate
+    eps, i = 1e-3, (0, 0, 0, 0)
+
+    def f(sv):
+        return float(jnp.sum(fattn._hash_softmax(
+            sv, bias, kpad, jnp.int32(9), 0.25, 0.5) * w))
+
+    fd = (f(s.at[i].add(eps)) - f(s.at[i].add(-eps))) / (2 * eps)
+    np.testing.assert_allclose(fd, float(g[i]), rtol=5e-2, atol=1e-4)
+
+
+def test_fused_softmax_entry_dispatches_to_hash_off_interpreter():
+    """Without INTERPRET/env, the public entry must take the pure-XLA hash
+    path (usable on any backend) — the pallas kernel is opt-in."""
+    assert fattn._attention_backend() == "xla_hash"
+    rng = np.random.default_rng(6)
+    s = jnp.asarray(rng.normal(size=(2, 2, 4, 300)), jnp.float32)
+    bias = jnp.zeros((2, 4, 300), jnp.float32)
+    kpad = jnp.zeros((2, 300), jnp.float32)
+    p = fattn.fused_softmax(s, bias, kpad, 0, 0.5)
+    np.testing.assert_allclose(
+        np.asarray(p), np.asarray(_hash_softmax_oracle(s, bias, kpad, 0.5)),
+        rtol=1e-6, atol=1e-6)
