@@ -93,6 +93,67 @@ def bench_tiger(batch_size: int, steps: int, warmup: int, small: bool,
     return B * steps / dt, final_loss
 
 
+def bench_idseq(model_name: str, batch_size: int, steps: int, warmup: int,
+                small: bool, dtype_name: str = "bfloat16"):
+    """SASRec / HSTU train throughput at the reference paper configs
+    (config/{sasrec,hstu}/amazon.gin: L=50, d=64, 2 blocks, B=128,
+    Beauty-sized 12k-item catalog; HSTU adds temporal bias)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from genrec_tpu.core.train_state import TrainState, apply_updates
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    num_items = 2000 if small else 12101
+    L = 20 if small else 50
+    if model_name == "sasrec":
+        from genrec_tpu.models.sasrec import SASRec
+        model = SASRec(num_items=num_items, max_seq_len=L, embed_dim=64,
+                       num_heads=2, num_blocks=2, ffn_dim=256, dropout=0.2,
+                       dtype=dtype)
+    else:
+        from genrec_tpu.models.hstu import HSTU
+        model = HSTU(num_items=num_items, max_seq_len=L, embed_dim=64,
+                     num_heads=2, num_blocks=2, dropout=0.2,
+                     use_temporal_bias=True, dtype=dtype)
+    rng = np.random.default_rng(0)
+    B = batch_size
+    input_ids = jnp.asarray(rng.integers(1, num_items + 1, (B, L)), jnp.int32)
+    targets = jnp.asarray(rng.integers(1, num_items + 1, (B, L)), jnp.int32)
+    kwargs = {}
+    if model_name == "hstu":
+        ts = np.sort(rng.integers(1.3e9, 1.4e9, (B, L)), axis=1)
+        kwargs["timestamps"] = jnp.asarray(ts, jnp.int32)
+
+    params = model.init({"params": jax.random.PRNGKey(0)}, input_ids,
+                        targets=targets, **kwargs)["params"]
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    state = TrainState.create(params, tx)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, input_ids, targets, rng, **kw):
+        def loss_fn(p):
+            out = model.apply({"params": p}, input_ids, targets=targets,
+                              deterministic=False, rngs={"dropout": rng},
+                              **kw)
+            return out.loss
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return apply_updates(state, grads, tx), loss
+
+    key = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        key, k = jax.random.split(key)
+        state, loss = step(state, input_ids, targets, k, **kwargs)
+    float(np.asarray(loss))   # real fetch (see bench_tiger comment)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, k = jax.random.split(key)
+        state, loss = step(state, input_ids, targets, k, **kwargs)
+    final_loss = float(np.asarray(loss))
+    dt = time.perf_counter() - t0
+    return B * steps / dt, final_loss
+
+
 def bench_generate(batch_size: int, steps: int, warmup: int, small: bool,
                    num_beams: int = 10):
     """Trie-constrained generation throughput (the reference's dominant eval
@@ -153,6 +214,9 @@ def main():
                     help="measure DP scaling efficiency 1 chip -> all chips")
     ap.add_argument("--generate", action="store_true",
                     help="measure trie-constrained generation throughput")
+    ap.add_argument("--model", default="tiger",
+                    choices=["tiger", "sasrec", "hstu"],
+                    help="which model's train step to benchmark")
     args = ap.parse_args()
 
     import jax
@@ -187,6 +251,22 @@ def main():
         }))
         print(f"# 1chip={eps1:.0f} {n_chips}chips={epsN:.0f} ex/s",
               file=sys.stderr)
+        return
+
+    if args.model != "tiger":
+        b = args.batch or (32 if args.smoke else 128)
+        eps, loss = bench_idseq(args.model, b, steps, warmup,
+                                small=args.smoke, dtype_name=args.dtype)
+        print(json.dumps({
+            "metric": f"{args.model}_train_examples_per_sec_per_chip",
+            "value": round(eps / max(n_chips, 1), 2),
+            "unit": "examples/sec/chip",
+            "vs_baseline": round(
+                eps / max(n_chips, 1) / NOMINAL_BASELINE_EXAMPLES_PER_SEC, 4),
+        }))
+        print(f"# devices={n_chips} platform={jax.devices()[0].platform} "
+              f"batch={b} steps={steps} dtype={args.dtype} "
+              f"final_loss={loss:.3f}", file=sys.stderr)
         return
 
     eps, loss = bench_tiger(batch, steps, warmup, small=args.smoke,

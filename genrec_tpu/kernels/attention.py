@@ -387,31 +387,21 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if force_xla or not fused_attention_supported(q.shape, n_heads):
         return fused_attention_xla(q, k, v, bias, kpad, seed,
                                    dropout_rate, n_heads)
-    seed32 = jnp.asarray(seed, jnp.int32)
-    if _attention_backend() == "pallas":
-        # head-interleaved operands straight from the Dense outputs — the
-        # pallas kernel's block specs were designed for this layout
-        qh = q.reshape(B, Sq, n_heads, dh)
-        kh = k.reshape(B, Sk, n_heads, dh)
-        vh = v.reshape(B, Sk, n_heads, dh)
-        s_raw = jnp.einsum("bqhd,bkhd->bhqk", qh, kh)     # model dtype
-        p = _fused_softmax(s_raw, bias, kpad, seed32, dh ** -0.5,
-                           dropout_rate)
-        o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), vh,
-                       preferred_element_type=jnp.float32).astype(q.dtype)
-        return o.reshape(B, Sq, HD)
-    # xla_hash: transpose to head-major (B, H, S, Dh) explicitly before the
-    # einsums. Leaving the batch-dim reordering implicit in a
-    # "bqhd,bkhd->bhqk" einsum made XLA materialise ~4.8 ms/step of layout
-    # copies around the dots at the TIGER paper config; with explicit
-    # transposes the relayout fuses into the producers and the whole
-    # fwd+bwd chain measured 7.7 ms vs 12.6 ms
-    # (scripts/attn_layout_bench.py, v5e).
-    qh = q.reshape(B, Sq, n_heads, dh).transpose(0, 2, 1, 3)
-    kh = k.reshape(B, Sk, n_heads, dh).transpose(0, 2, 1, 3)
-    vh = v.reshape(B, Sk, n_heads, dh).transpose(0, 2, 1, 3)
-    s_raw = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)         # model dtype
-    p = _hash_softmax(s_raw, bias, kpad, seed32, dh ** -0.5, dropout_rate)
-    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), vh,
+    # Layout note: the head-interleaved "bqhd,bkhd->bhqk" einsums (implicit
+    # batch-dim reordering) measured equal to explicit head-major
+    # (B,H,S,Dh) transposes end-to-end at the TIGER paper config
+    # (19.1-19.4k vs ~19.4k ex/s, v5e) — in the full step XLA lays the
+    # Dense producers out for the dots either way. An isolated chain bench
+    # said otherwise (scripts/attn_layout_bench.py: 7.7 vs 12.6 ms) but
+    # that context lacks the producer matmuls; trust the step A/B.
+    qh = q.reshape(B, Sq, n_heads, dh)
+    kh = k.reshape(B, Sk, n_heads, dh)
+    vh = v.reshape(B, Sk, n_heads, dh)
+    s_raw = jnp.einsum("bqhd,bkhd->bhqk", qh, kh)     # model dtype
+    impl = (_fused_softmax if _attention_backend() == "pallas"
+            else _hash_softmax)
+    p = impl(s_raw, bias, kpad, jnp.asarray(seed, jnp.int32),
+             dh ** -0.5, dropout_rate)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), vh,
                    preferred_element_type=jnp.float32).astype(q.dtype)
-    return o.transpose(0, 2, 1, 3).reshape(B, Sq, HD)
+    return o.reshape(B, Sq, HD)

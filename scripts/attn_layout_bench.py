@@ -1,10 +1,14 @@
 """Micro-bench: attention einsum formulations vs XLA layout copies.
 
-The round-2b profile showed ~4.8 ms/step of `data formatting` copies
-(bf16 (256,6,61,61)/(256,61,6,64) relayouts) around the attention einsums
-of the TIGER step — 42% of device time. This bench compares formulations
-of the q·kᵀ → fused-softmax → p·v chain (fwd+bwd, realistic TIGER shapes)
-to find one whose operand/result layouts XLA keeps copy-free.
+OUTCOME (v5e, recorded for posterity): in this isolated chain the
+explicit head-major transposes measured 7.7 ms fwd+bwd vs 12.6 ms for
+the implicit-batch "bqhd,bkhd->bhqk" form — but the FULL TIGER step A/B
+showed NO difference (19.1-19.4k vs ~19.4k ex/s over 3+2 warm runs).
+With the producer Dense matmuls present, XLA assigns operand layouts for
+the dots either way; this bench's grad-of-sum scan context lacks them
+and so overstates the relayout cost. Kept as a cautionary example: layout
+micro-benches must include the producers/consumers of the tensors whose
+layouts they probe.
 
 Usage: PYTHONPATH="$PYTHONPATH:/root/repo" python scripts/attn_layout_bench.py
 """
