@@ -58,6 +58,26 @@ def relative_position_bucket(relative_positions: jnp.ndarray,
     return ret
 
 
+def relative_bias_from_table(table: jnp.ndarray, n_heads: int,
+                             num_buckets: int, max_distance: int,
+                             q_len: int, k_len: int) -> jnp.ndarray:
+    """(H, q_len, k_len) additive bias from a (H·NB, 1) per-(head,bucket)
+    scalar table.
+
+    Expressed as ``one_hot(buckets) @ table`` rather than a gather: the
+    bucket grid is static so the one-hot constant-folds, the forward is
+    a tiny MXU matmul and the backward a matmul instead of a
+    22k-element scatter-add into 192 rows (~1.5 ms/step across layers
+    at the TIGER paper config, round-2 profile)."""
+    ctx = jnp.arange(q_len)[:, None]
+    mem = jnp.arange(k_len)[None, :]
+    buckets = relative_position_bucket(
+        mem - ctx, num_buckets, max_distance, bidirectional=True)   # (q, k)
+    onehot = jax.nn.one_hot(buckets, num_buckets, dtype=jnp.float32)
+    table2 = table[:, 0].reshape(n_heads, num_buckets)
+    return jnp.einsum("qkb,hb->hqk", onehot, table2.astype(jnp.float32))
+
+
 class T5Attention(nn.Module):
     d_model: int
     n_heads: int
@@ -70,28 +90,13 @@ class T5Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _rel_bias(self, q_len: int, k_len: int) -> jnp.ndarray:
-        """(1, H, q_len, k_len) additive bias from a per-(head,bucket) scalar.
-
-        Expressed as ``one_hot(buckets) @ table`` rather than a gather: the
-        bucket grid is static so the one-hot constant-folds, the forward is
-        a tiny MXU matmul and the backward a matmul instead of a
-        22k-element scatter-add into 192 rows (~1.5 ms/step across layers
-        at the TIGER paper config, round-2 profile)."""
+        """(1, H, q_len, k_len) additive bias (see relative_bias_from_table)."""
         table = self.param(
             "rel_bias", nn.initializers.normal(stddev=1.0),
             (self.n_heads * self.num_relative_buckets, 1))
-        ctx = jnp.arange(q_len)[:, None]
-        mem = jnp.arange(k_len)[None, :]
-        buckets = relative_position_bucket(
-            mem - ctx, self.num_relative_buckets, self.max_distance,
-            bidirectional=True)                                  # (q, k)
-        onehot = jax.nn.one_hot(buckets, self.num_relative_buckets,
-                                dtype=jnp.float32)               # (q, k, NB)
-        table2 = table[:, 0].reshape(self.n_heads,
-                                     self.num_relative_buckets)
-        bias = jnp.einsum("qkb,hb->hqk", onehot,
-                          table2.astype(jnp.float32))
-        return bias[None]
+        return relative_bias_from_table(
+            table, self.n_heads, self.num_relative_buckets,
+            self.max_distance, q_len, k_len)[None]
 
     @nn.compact
     def __call__(self, query: jnp.ndarray,
@@ -189,6 +194,60 @@ class FeedForward(nn.Module):
                         name="wo")(x)
 
 
+# --- param accessors for the fused encoder-layer kernel -------------------
+#
+# The fused path (kernels.encoder_layer) needs the raw weight arrays of the
+# block's children without running them. These modules create parameters at
+# EXACTLY the same tree paths (and with the same initializers) as the
+# nn.Dense / RMSNorm children of the standard path, so checkpoints are
+# interchangeable between the fused and unfused paths.
+
+class _DenseKernel(nn.Module):
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
+class _NormWeight(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("weight", nn.initializers.ones, (self.dim,))
+
+
+class _AttnWeights(nn.Module):
+    """Mirrors T5Attention's self-attention param tree (q, kv, o, rel_bias)."""
+    d_model: int
+    n_heads: int
+    num_relative_buckets: int = 32
+
+    @nn.compact
+    def __call__(self):
+        d = self.d_model
+        wq = _DenseKernel((d, d), name="q")()
+        wkv = _DenseKernel((d, 2 * d), name="kv")()
+        wo = _DenseKernel((d, d), name="o")()
+        table = self.param("rel_bias", nn.initializers.normal(stddev=1.0),
+                           (self.n_heads * self.num_relative_buckets, 1))
+        return wq, wkv, wo, table
+
+
+class _FFWeights(nn.Module):
+    """Mirrors FeedForward's param tree (wi, wo)."""
+    dim: int
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self):
+        wi = _DenseKernel((self.dim, self.hidden_dim), name="wi")()
+        wo = _DenseKernel((self.hidden_dim, self.dim), name="wo")()
+        return wi, wo
+
+
 class TransformerBlock(nn.Module):
     dim: int
     num_heads: int
@@ -201,6 +260,33 @@ class TransformerBlock(nn.Module):
     def __call__(self, x, *, context=None, attn_mask=None,
                  key_padding_mask=None, memory_key_padding_mask=None,
                  deterministic: bool = True):
+        from genrec_tpu.kernels.encoder_layer import (
+            fused_encoder_layer, fused_encoder_layer_supported)
+        if (not self.cross_attn and attn_mask is None
+                and fused_encoder_layer_supported(x.shape[1], self.dim,
+                                                  self.num_heads)):
+            # megakernel path: whole layer in one pallas call; param tree
+            # identical to the standard path (see _AttnWeights/_FFWeights)
+            wq, wkv, wo, table = _AttnWeights(self.dim, self.num_heads,
+                                              name="self_attn")()
+            g1 = _NormWeight(self.dim, name="norm1")()
+            g2 = _NormWeight(self.dim, name="norm2")()
+            wi, wo2 = _FFWeights(self.dim, self.ff_hidden_dim, name="ff")()
+            S = x.shape[1]
+            bias = relative_bias_from_table(table, self.num_heads, 32, 128,
+                                            S, S)
+            kpad = None
+            if key_padding_mask is not None:
+                kpad = jnp.where(key_padding_mask, NEG_INF, 0.0)
+            rate = 0.0 if deterministic else self.dropout
+            seeds = jnp.zeros((4,), jnp.int32)
+            if rate > 0.0:
+                seeds = jax.random.randint(self.make_rng("dropout"), (4,),
+                                           0, 2 ** 31 - 1)
+            return fused_encoder_layer(
+                x, wq=wq, wkv=wkv, wo=wo, g1=g1, g2=g2, wi=wi, wo2=wo2,
+                bias=bias, kpad=kpad, n_heads=self.num_heads, seeds=seeds,
+                dropout_rate=rate)
         drop = HwDropout(self.dropout)
         attn_out = T5Attention(
             self.dim, self.num_heads, self.dropout, dtype=self.dtype,

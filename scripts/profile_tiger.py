@@ -13,10 +13,13 @@ import glob
 import gzip
 import json
 import os
+import sys
 import time
 from collections import defaultdict
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
