@@ -176,8 +176,20 @@ class LlmBlock(nn.Module):
         return x + down, new_cache
 
 
+class _HeadKernel(nn.Module):
+    """Raw (D, V) kernel at the same tree path/init as the nn.Dense head it
+    replaces, so checkpoints are interchangeable; exposing the array lets
+    the fused CE consume it without materialising logits."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
 class CausalLMOutput(NamedTuple):
-    logits: jnp.ndarray
+    logits: Optional[jnp.ndarray]
     loss: Optional[jnp.ndarray]
 
 
@@ -197,6 +209,8 @@ class CausalLM(nn.Module):
     remat: bool = False   # rematerialize blocks: trade FLOPs for HBM
     lora_rank: int = 0    # >0: low-rank adapters on every projection
     lora_alpha: float = 16.0
+    fused_ce: bool = True       # chunked loss, no (B, L, V) logits in HBM
+    fused_ce_chunk: int = 4096  # vocab chunk size for the fused loss
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -213,8 +227,8 @@ class CausalLM(nn.Module):
             for i in range(self.n_layers)]
         self.final_norm = RMSNorm(self.d_model, name="final_norm")
         if not self.tie_embeddings:
-            self.lm_head = nn.Dense(self.vocab_size, use_bias=False,
-                                    dtype=self.dtype, name="lm_head")
+            self.lm_head = _HeadKernel((self.d_model, self.vocab_size),
+                                       name="lm_head")
 
     def hidden_states(self, input_ids: jnp.ndarray,
                       attention_mask: Optional[jnp.ndarray] = None
@@ -245,7 +259,7 @@ class CausalLM(nn.Module):
                                 self.wte.astype(self.dtype),
                                 preferred_element_type=jnp.float32)
         else:
-            logits = self.lm_head(x)
+            logits = jnp.dot(x, self.lm_head().astype(self.dtype))
         return logits.astype(jnp.float32)
 
     # -- KV-cache generation entry points ---------------------------------
@@ -311,14 +325,26 @@ class CausalLM(nn.Module):
                  attention_mask: Optional[jnp.ndarray] = None,
                  labels: Optional[jnp.ndarray] = None) -> CausalLMOutput:
         x = self.hidden_states(input_ids, attention_mask)
-        if self.tie_embeddings:
-            logits = jnp.einsum("bld,vd->blv", x,
-                                self.wte.astype(self.dtype),
-                                preferred_element_type=jnp.float32)
-        else:
-            logits = self.lm_head(x)
-        logits = logits.astype(jnp.float32)
 
+        if labels is not None and self.fused_ce:
+            # chunked linear+CE: the (B, L, V) logits/log-softmax pair never
+            # materialises (HBM traffic is the SFT-step bound at real vocab
+            # sizes); training call sites consume only ``loss``
+            from genrec_tpu.ops.fused_ce import fused_linear_cross_entropy
+            D = x.shape[-1]
+            xs = x[:, :-1, :].reshape(-1, D)
+            ls = labels[:, 1:].reshape(-1)
+            chunk = min(self.fused_ce_chunk,
+                        max(128, -(-self.vocab_size // 128) * 128))
+            if self.tie_embeddings:
+                loss = fused_linear_cross_entropy(
+                    xs, self.wte, ls, -100, chunk, True)
+            else:
+                loss = fused_linear_cross_entropy(
+                    xs, self.lm_head(), ls, -100, chunk, False)
+            return CausalLMOutput(logits=None, loss=loss)
+
+        logits = self._lm_logits(x)
         loss = None
         if labels is not None:
             shift_logits = logits[:, :-1]

@@ -22,9 +22,11 @@ def main():
     from genrec_tpu.core.train_state import TrainState, apply_updates
     from genrec_tpu.models.llm import CausalLM
 
+    import os
+    fused_ce = not os.environ.get("GENREC_TPU_NO_FUSED_CE")
     model = CausalLM(vocab_size=32000, d_model=512, n_layers=8, n_heads=8,
                      n_kv_heads=4, ff_dim=1408, max_len=520,
-                     dtype=jnp.bfloat16)
+                     fused_ce=fused_ce, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     B, L = 16, 512
     ids = jnp.asarray(rng.integers(4, 31000, (B, L)), jnp.int32)
@@ -54,9 +56,9 @@ def main():
         state, loss = step(state)
     float(np.asarray(loss))
     dt = time.perf_counter() - t0
-    import os
     tag = "xla" if os.environ.get("GENREC_TPU_NO_FUSED_ATTENTION") \
         else "fused"
+    tag += "+ce" if fused_ce else "+naive-ce"
     print(f"lcrec-sft[{tag}]: {dt/steps*1e3:7.2f} ms/step  "
           f"{B*steps/dt:7.0f} ex/s  ({B*L*steps/dt:9.0f} tok/s)",
           flush=True)
