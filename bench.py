@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
@@ -106,16 +107,17 @@ def bench_idseq(model_name: str, batch_size: int, steps: int, warmup: int,
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     num_items = 2000 if small else 12101
     L = 20 if small else 50
+    fused_ce = not os.environ.get("GENREC_TPU_NO_FUSED_CE")
     if model_name == "sasrec":
         from genrec_tpu.models.sasrec import SASRec
         model = SASRec(num_items=num_items, max_seq_len=L, embed_dim=64,
                        num_heads=2, num_blocks=2, ffn_dim=256, dropout=0.2,
-                       dtype=dtype)
+                       fused_ce=fused_ce, dtype=dtype)
     else:
         from genrec_tpu.models.hstu import HSTU
         model = HSTU(num_items=num_items, max_seq_len=L, embed_dim=64,
                      num_heads=2, num_blocks=2, dropout=0.2,
-                     use_temporal_bias=True, dtype=dtype)
+                     use_temporal_bias=True, fused_ce=fused_ce, dtype=dtype)
     rng = np.random.default_rng(0)
     B = batch_size
     input_ids = jnp.asarray(rng.integers(1, num_items + 1, (B, L)), jnp.int32)

@@ -32,7 +32,7 @@ NEG_INF = -1e9
 
 
 class HSTUOutput(NamedTuple):
-    logits: jnp.ndarray
+    logits: Optional[jnp.ndarray]
     loss: Optional[jnp.ndarray]
 
 
@@ -151,6 +151,7 @@ class HSTU(nn.Module):
     num_time_buckets: int = 64
     max_position_distance: int = 128
     use_temporal_bias: bool = True
+    fused_ce: bool = True   # chunked loss: no (B, L, V) logits in HBM
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -182,6 +183,17 @@ class HSTU(nn.Module):
                     x, padding_mask, time_onehot, deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                          name="final_norm")(x).astype(self.dtype)
+
+        if targets is not None and self.fused_ce:
+            # chunked linear+CE over the full catalog (see sasrec.py)
+            from genrec_tpu.ops.fused_ce import fused_linear_cross_entropy
+            V = item_emb.shape[0]
+            chunk = min(4096, max(128, -(-V // 128) * 128))
+            loss = fused_linear_cross_entropy(
+                x.reshape(-1, x.shape[-1]),
+                item_emb, targets.reshape(-1).astype(jnp.int32),
+                0, chunk, True)
+            return HSTUOutput(logits=None, loss=loss)
 
         logits = jnp.einsum("bld,vd->blv", x, item_emb.astype(self.dtype),
                             preferred_element_type=jnp.float32)

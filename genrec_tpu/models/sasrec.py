@@ -33,7 +33,7 @@ NEG_INF = -1e9
 
 
 class SASRecOutput(NamedTuple):
-    logits: jnp.ndarray
+    logits: Optional[jnp.ndarray]
     loss: Optional[jnp.ndarray]
 
 
@@ -112,6 +112,7 @@ class SASRec(nn.Module):
     num_blocks: int = 2
     ffn_dim: int = 256
     dropout: float = 0.2
+    fused_ce: bool = True   # chunked loss: no (B, L, V) logits in HBM
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -156,9 +157,22 @@ class SASRec(nn.Module):
                  targets: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> SASRecOutput:
         x, item_emb = self.hidden(input_ids, deterministic=deterministic)
+
+        if targets is not None and self.fused_ce:
+            # chunked linear+CE: the (B, L, V) fp32 logits/log-softmax pair
+            # never materialises (V is the full catalog); pad id 0 is the
+            # ignore index, exactly as the naive branch below
+            from genrec_tpu.ops.fused_ce import fused_linear_cross_entropy
+            V = item_emb.shape[0]
+            chunk = min(4096, max(128, -(-V // 128) * 128))
+            loss = fused_linear_cross_entropy(
+                x.reshape(-1, x.shape[-1]),
+                item_emb, targets.reshape(-1).astype(jnp.int32),
+                0, chunk, True)
+            return SASRecOutput(logits=None, loss=loss)
+
         logits = jnp.einsum("bld,vd->blv", x, item_emb.astype(self.dtype),
                             preferred_element_type=jnp.float32)
-
         loss = None
         if targets is not None:
             logp = jax.nn.log_softmax(logits, axis=-1)

@@ -76,3 +76,37 @@ def test_causal_lm_fused_matches_naive():
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=3e-6), gf, gn)
+
+
+def test_sasrec_hstu_fused_matches_naive():
+    from genrec_tpu.models.hstu import HSTU
+    from genrec_tpu.models.sasrec import SASRec
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(1, 31, (3, 8)), jnp.int32)
+    tgt = jnp.asarray(rng.integers(0, 31, (3, 8)), jnp.int32)
+    ts = jnp.asarray(np.cumsum(rng.integers(1000, 9999, (3, 8)), 1),
+                     jnp.int32)
+
+    for make, kwargs in (
+        (SASRec, dict(num_items=30, max_seq_len=8, embed_dim=16,
+                      num_heads=2, num_blocks=1, ffn_dim=32, dropout=0.0)),
+        (HSTU, dict(num_items=30, max_seq_len=8, embed_dim=32,
+                    num_heads=2, num_blocks=1, dropout=0.0)),
+    ):
+        fused_m = make(**kwargs, fused_ce=True)
+        naive_m = make(**kwargs, fused_ce=False)
+        extra = {"timestamps": ts} if make is HSTU else {}
+        params = naive_m.init({"params": jax.random.PRNGKey(0)}, ids,
+                              **extra)["params"]
+        lf = fused_m.apply({"params": params}, ids, targets=tgt,
+                           **extra).loss
+        ln = naive_m.apply({"params": params}, ids, targets=tgt,
+                           **extra).loss
+        np.testing.assert_allclose(float(lf), float(ln), rtol=1e-6)
+        gf = jax.grad(lambda p: fused_m.apply(
+            {"params": p}, ids, targets=tgt, **extra).loss)(params)
+        gn = jax.grad(lambda p: naive_m.apply(
+            {"params": p}, ids, targets=tgt, **extra).loss)(params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-6), gf, gn)

@@ -23,8 +23,10 @@ def test_forward_shapes(tiny_hstu):
     model, params, ids, ts = tiny_hstu
     tgt = jnp.array([[0, 0, 2, 3, 4, 5, 6, 7]], jnp.int32)
     out = model.apply({"params": params}, ids, timestamps=ts, targets=tgt)
-    assert out.logits.shape == (1, 8, 41)
+    assert out.logits is None    # fused CE skips logits materialisation
     assert np.isfinite(float(out.loss))
+    out_l = model.apply({"params": params}, ids, timestamps=ts)
+    assert out_l.logits.shape == (1, 8, 41)
 
 
 def test_causality(tiny_hstu):

@@ -22,9 +22,11 @@ def test_forward_shapes_and_loss(small_model):
     ids = jnp.array([[0, 0, 1, 2, 3, 4, 5, 6]], jnp.int32)
     tgt = jnp.array([[0, 0, 2, 3, 4, 5, 6, 7]], jnp.int32)
     out = model.apply({"params": params}, ids, targets=tgt)
-    assert out.logits.shape == (1, 8, 51)
+    assert out.logits is None    # fused CE skips logits materialisation
     assert out.loss.shape == ()
     assert np.isfinite(float(out.loss))
+    out_l = model.apply({"params": params}, ids)
+    assert out_l.logits.shape == (1, 8, 51)
 
 
 def test_padding_rows_do_not_affect_loss(small_model):
