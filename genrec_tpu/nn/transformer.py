@@ -307,6 +307,20 @@ class TransformerBlock(nn.Module):
                     deterministic=deterministic)
             x = x + drop(cross_out, deterministic=deterministic)
 
+        from genrec_tpu.kernels.ffn_block import (fused_ffn_block,
+                                                  fused_ffn_supported)
+        if fused_ffn_supported(self.dim, self.ff_hidden_dim):
+            # fused pre-norm FFN: one pallas call, param tree identical to
+            # the standard path below (see _FFWeights/_NormWeight)
+            g2 = _NormWeight(self.dim, name="norm2")()
+            wi, wo2 = _FFWeights(self.dim, self.ff_hidden_dim, name="ff")()
+            rate = 0.0 if deterministic else self.dropout
+            seeds = jnp.zeros((2,), jnp.int32)
+            if rate > 0.0:
+                seeds = jax.random.randint(self.make_rng("dropout"), (2,),
+                                           0, 2 ** 31 - 1)
+            return fused_ffn_block(x, g=g2, wi=wi, wo=wo2, seeds=seeds,
+                                   dropout_rate=rate)
         ff_out = FeedForward(self.dim, self.ff_hidden_dim, self.dropout,
                              dtype=self.dtype, name="ff")(
             RMSNorm(self.dim, name="norm2")(x), deterministic=deterministic)
