@@ -97,13 +97,20 @@ class Engine:
     def __init__(self, mesh, loss_fn: LossFn,
                  tx: optax.GradientTransformation, params,
                  rng: Optional[jax.Array] = None,
-                 shard_params: bool = False):
+                 shard_params=False):
+        """``shard_params``: False = replicate everything; True/"tables" =
+        row-shard vocabulary tables over the model axis; "fsdp" = ZeRO-3
+        placement of every large param over the data axis (full-FT LLMs).
+        """
         self.mesh = mesh
         self.tx = tx
         if shard_params:
             from genrec_tpu.parallel.sharding import (apply_shardings,
+                                                      fsdp_shardings,
                                                       param_shardings)
-            params = apply_shardings(params, param_shardings(mesh, params))
+            rule = (fsdp_shardings if shard_params == "fsdp"
+                    else param_shardings)
+            params = apply_shardings(params, rule(mesh, params))
             state = TrainState.create(params, tx)
             # tx.init outputs inherit param shardings (mu/nu are computed
             # from the already-placed params), but fresh scalars (step,

@@ -76,7 +76,7 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
           use_lora: bool = False, lora_rank: int = 8,
           lora_alpha: float = 16.0, lora_r: int = 0,
           pretrained_backbone_path: str = "", backbone: str = "",
-          remat: bool = False,
+          remat: bool = False, fsdp: bool = False,
           dataset_type: str = "synthetic",
           dataset_folder: str = "dataset/amazon", split: str = "beauty",
           pretrained_rqvae_path: str = "", sem_ids_table=None,
@@ -202,7 +202,10 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
                           labels=batch["labels"])
         return out.loss, {}
 
-    engine = Engine(mesh, loss_fn, tx, params, rng=rng)
+    # fsdp: ZeRO-3 placement of the backbone over the data axis — the
+    # memory path for full fine-tuning (param/grad/Adam scale 1/N chips)
+    engine = Engine(mesh, loss_fn, tx, params, rng=rng,
+                    shard_params="fsdp" if fsdp else False)
     mlogger = MetricLogger(save_dir_root, wandb_project, wandb_logging,
                            enabled=pidx == 0)
     generate = model.make_generate_topk(
