@@ -139,3 +139,140 @@ def _bwd(ignore_index, chunk, vocab_major, res, g):
 
 
 fused_linear_cross_entropy.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# vocab-parallel variant (Megatron-style): table sharded over a mesh axis
+# ---------------------------------------------------------------------------
+
+def _local_stats(x, w_loc, labels, v_off, V_loc, chunk):
+    """Chunked (m, s, t) logsumexp stats of x against the LOCAL vocab rows
+    ``[v_off, v_off + V_loc)``; t is nonzero only where this shard owns the
+    label. All in fp32."""
+    N = x.shape[0]
+    nc = -(-V_loc // chunk)
+    pad = nc * chunk - V_loc
+    wp = jnp.pad(w_loc, ((0, pad), (0, 0))).astype(x.dtype)
+
+    def step(carry, c):
+        m, s, t = carry
+        wc = jax.lax.dynamic_slice_in_dim(wp, c * chunk, chunk, axis=0)
+        z = jax.lax.dot_general(x, wc, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        loc = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        z = jnp.where(loc < V_loc, z, -jnp.inf)
+        ids = v_off + loc                                    # global ids
+        m2 = jnp.maximum(m, jnp.max(z, axis=1))
+        s = s * jnp.exp(m - m2) + jnp.sum(jnp.exp(z - m2[:, None]), axis=1)
+        hit = labels[:, None] == ids
+        t = t + jnp.sum(jnp.where(hit, z, 0.0), axis=1)
+        return (m2, s, t), None
+
+    init = (jnp.full((N,), -jnp.inf, jnp.float32),
+            jnp.zeros((N,), jnp.float32), jnp.zeros((N,), jnp.float32))
+    (m, s, t), _ = jax.lax.scan(step, init, jnp.arange(nc))
+    return m, s, t
+
+
+def _local_grads(x, w_loc, labels, lse, scale, v_off, V_loc, chunk):
+    """(dx_partial, dw_loc) of this shard's vocab slice (fp32 dx)."""
+    dt = x.dtype
+    nc = -(-V_loc // chunk)
+    pad = nc * chunk - V_loc
+    wp = jnp.pad(w_loc, ((0, pad), (0, 0))).astype(dt)
+
+    def step(dx, c):
+        wc = jax.lax.dynamic_slice_in_dim(wp, c * chunk, chunk, axis=0)
+        z = jax.lax.dot_general(x, wc, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        loc = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        ids = v_off + loc
+        p = jnp.where(loc < V_loc, jnp.exp(z - lse[:, None]), 0.0)
+        hit = (labels[:, None] == ids).astype(jnp.float32)
+        dz = ((p - hit) * scale[:, None]).astype(dt)
+        dx = dx + jnp.dot(dz, wc, preferred_element_type=jnp.float32)
+        dwc = jax.lax.dot_general(dz, x, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return dx, dwc
+
+    dx, dw_chunks = jax.lax.scan(step, jnp.zeros(x.shape, jnp.float32),
+                                 jnp.arange(nc))
+    return dx, dw_chunks.reshape(nc * chunk, -1)[:V_loc]
+
+
+def make_vocab_parallel_ce(mesh, *, data_axis: str = "data",
+                           model_axis: str = "model",
+                           ignore_index: int = -100, chunk: int = 2048):
+    """Vocab-parallel fused CE over a (data, model) mesh.
+
+    Returns ``loss_fn(x, w, labels) -> scalar`` where ``w (V, D)`` is (or
+    will be) row-sharded over ``model_axis`` and ``x (N, D)`` /
+    ``labels (N,)`` are row-sharded over ``data_axis``. Each shard scores
+    its rows against its local vocab slice only; logsumexp statistics are
+    combined with pmax/psum over the model axis and the mean over valid
+    labels with psums over the data axis — the table itself never moves
+    (vs. the replicated path, which under sharding would all-gather the
+    full (V, D) table every step; at Qwen2.5's V=151936 that is ~0.5 GB
+    bf16 per step per direction). Gradients flow through the collectives
+    via a custom VJP that recomputes local chunks (same recipe as
+    :func:`fused_linear_cross_entropy`).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_model = mesh.shape[model_axis]
+    x_spec = P(data_axis, None)
+    w_spec = P(model_axis, None)
+    l_spec = P(data_axis)
+
+    @jax.custom_vjp
+    def loss_fn(x, w, labels):
+        return _loss_fwd(x, w, labels)[0]
+
+    def _body_fwd(x, w_loc, labels):
+        V_loc = w_loc.shape[0]
+        v_off = jax.lax.axis_index(model_axis) * V_loc
+        labels = labels.astype(jnp.int32)
+        m_l, s_l, t_l = _local_stats(x, w_loc, labels, v_off, V_loc, chunk)
+        m = jax.lax.pmax(m_l, model_axis)
+        s = jax.lax.psum(s_l * jnp.exp(m_l - m), model_axis)
+        t = jax.lax.psum(t_l, model_axis)
+        lse = m + jnp.log(s)
+        valid = (labels != ignore_index).astype(jnp.float32)
+        n_valid = jnp.maximum(jax.lax.psum(jnp.sum(valid), data_axis), 1.0)
+        loss = jax.lax.psum(jnp.sum((lse - t) * valid), data_axis) / n_valid
+        return loss, lse, valid, n_valid
+
+    def _loss_fwd(x, w, labels):
+        fwd = shard_map(
+            _body_fwd, mesh=mesh, in_specs=(x_spec, w_spec, l_spec),
+            out_specs=(P(), P(data_axis), P(data_axis), P()),
+            check_rep=False)
+        loss, lse, valid, n_valid = fwd(x, w, labels)
+        return loss, (x, w, labels, lse, valid, n_valid)
+
+    def _loss_bwd(res, g):
+        x, w, labels, lse, valid, n_valid = res
+
+        def body(x, w_loc, labels, lse, valid, n_valid, g):
+            V_loc = w_loc.shape[0]
+            v_off = jax.lax.axis_index(model_axis) * V_loc
+            scale = g * valid / n_valid
+            dx_p, dw_loc = _local_grads(x, w_loc, labels.astype(jnp.int32),
+                                        lse, scale, v_off, V_loc, chunk)
+            dx = jax.lax.psum(dx_p, model_axis)      # all vocab shards
+            dw = jax.lax.psum(dw_loc, data_axis)     # all row shards
+            return dx.astype(x.dtype), dw
+
+        bwd = shard_map(
+            body, mesh=mesh,
+            in_specs=(x_spec, w_spec, l_spec, P(data_axis), P(data_axis),
+                      P(), P()),
+            out_specs=(x_spec, w_spec), check_rep=False)
+        dx, dw = bwd(x, w, labels, lse, valid, n_valid,
+                     jnp.asarray(g, jnp.float32))
+        return dx, dw.astype(w.dtype), np.zeros(labels.shape,
+                                                jax.dtypes.float0)
+
+    loss_fn.defvjp(_loss_fwd, _loss_bwd)
+    return loss_fn

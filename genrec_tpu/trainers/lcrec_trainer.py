@@ -77,6 +77,7 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
           lora_alpha: float = 16.0, lora_r: int = 0,
           pretrained_backbone_path: str = "", backbone: str = "",
           remat: bool = False, fsdp: bool = False,
+          vocab_parallel_ce: bool = False,
           dataset_type: str = "synthetic",
           dataset_folder: str = "dataset/amazon", split: str = "beauty",
           pretrained_rqvae_path: str = "", sem_ids_table=None,
@@ -196,11 +197,28 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()}, lora_label_fn)
 
-    def loss_fn(params, batch, rng):
-        out = model.apply(params, batch["input_ids"],
-                          attention_mask=batch["attention_mask"],
-                          labels=batch["labels"])
-        return out.loss, {}
+    if vocab_parallel_ce:
+        # Megatron-style loss: the (V, D) token table stays row-sharded
+        # over the model axis; logsumexp stats combine via psum/pmax —
+        # the table is never all-gathered (ops/fused_ce.py)
+        if not model.model.tie_embeddings:
+            raise ValueError("vocab_parallel_ce requires tied embeddings")
+        from genrec_tpu.ops.fused_ce import make_vocab_parallel_ce
+        vp_ce = make_vocab_parallel_ce(mesh)
+
+        def loss_fn(params, batch, rng):
+            h = model.model.apply(
+                {"params": params}, batch["input_ids"],
+                batch["attention_mask"], method="hidden_states")
+            xs = h[:, :-1, :].reshape(-1, h.shape[-1])
+            ls = batch["labels"][:, 1:].reshape(-1)
+            return vp_ce(xs, params["wte"], ls), {}
+    else:
+        def loss_fn(params, batch, rng):
+            out = model.apply(params, batch["input_ids"],
+                              attention_mask=batch["attention_mask"],
+                              labels=batch["labels"])
+            return out.loss, {}
 
     # fsdp: ZeRO-3 placement of the backbone over the data axis — the
     # memory path for full fine-tuning (param/grad/Adam scale 1/N chips)

@@ -176,3 +176,32 @@ def test_fsdp_llm_train_matches_replicated():
         ms = [eng.run_step(batch) for _ in range(2)]
         losses[mode] = [float(np.asarray(m["loss"])) for m in ms]
     np.testing.assert_allclose(losses["fsdp"], losses[False], rtol=2e-5)
+
+
+def test_vocab_parallel_ce_matches_unsharded():
+    """Megatron-style vocab-parallel CE on a (data=4, model=2) mesh: loss
+    and grads match the single-device fused op; the table never moves."""
+    from genrec_tpu.ops.fused_ce import (fused_linear_cross_entropy,
+                                         make_vocab_parallel_ce)
+
+    mesh = make_mesh(data=4, model=2)
+    rng = np.random.default_rng(5)
+    N, D, V = 16, 32, 256
+    x = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(V, D)) * 0.3, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, N), jnp.int32)
+    labels = labels.at[:3].set(-100)
+
+    sharded = make_vocab_parallel_ce(mesh, chunk=64)
+    ref = lambda x, w: fused_linear_cross_entropy(x, w, labels, -100, 64,
+                                                  True)
+
+    ls = jax.jit(sharded)(x, w, labels)
+    lr = jax.jit(ref)(x, w)
+    np.testing.assert_allclose(float(ls), float(lr), rtol=1e-6)
+
+    gs = jax.grad(lambda a, b: sharded(a, b, labels), argnums=(0, 1))(x, w)
+    gr = jax.grad(ref, argnums=(0, 1))(x, w)
+    for a, b, name in zip(gs, gr, ("dx", "dw")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-6, err_msg=name)
