@@ -8,6 +8,8 @@ batch-inference classes with compiled hot paths:
   from raw id histories (full-catalog scoring, optionally sharded).
 * :class:`TigerRecommender` — trie-constrained semantic-ID generation mapped
   back to catalog item ids.
+* :class:`LCRecRecommender` — LLM seqrec prompt → compiled KV-cache
+  constrained beam decode → catalog item ids.
 
 All entry points pad to fixed shapes so the compiled executable is reused
 across requests.
@@ -149,6 +151,78 @@ class TigerRecommender:
                              jnp.asarray(batch.token_type_ids),
                              jnp.asarray(batch.seq_mask),
                              jax.random.PRNGKey(0))
+        results = []
+        for beams, logps in zip(np.asarray(out.sem_ids),
+                                np.asarray(out.log_probas)):
+            row = []
+            for codes, lp in zip(beams, logps):
+                if lp <= -1e30:
+                    continue
+                item = self._code_to_item.get(tuple(int(c) for c in codes))
+                if item is not None and item not in row:
+                    row.append(item)
+                if len(row) == k:
+                    break
+            results.append(row)
+        return results
+
+
+class LCRecRecommender:
+    """LLM-based generative retrieval: histories → seqrec prompt →
+    constrained beam decode of ``<Ci_j>`` codes → item ids.
+
+    Serving counterpart of the LCRec eval loop
+    (trainers/lcrec_trainer.py); the decode is the compiled
+    KV-cache beam search (``LCRec.make_generate_topk``), so per-request
+    cost is one prompt prefill plus C single-token steps.
+    """
+
+    def __init__(self, lcrec, params, sem_ids: np.ndarray,
+                 num_beams: int = 10, prompt_len: int = 256,
+                 max_seq_len: int = 20, use_item_trie: bool = True):
+        from genrec_tpu.data.lcrec import SFT_PROMPT, TEMPLATES, render_history
+        self.lcrec = lcrec
+        self.params = params
+        self.sem_ids = np.asarray(sem_ids, np.int32)[:, :lcrec.num_codebooks]
+        self.prompt_len = prompt_len
+        self.max_seq_len = max_seq_len
+        self._template = SFT_PROMPT.format(
+            instruction=TEMPLATES["seqrec"][0])
+        self._render_history = render_history
+        self._generate = lcrec.make_generate_topk(
+            num_beams=num_beams,
+            valid_item_ids=self.sem_ids if use_item_trie else None)
+        self._code_to_item = {}
+        for item, codes in enumerate(self.sem_ids):
+            self._code_to_item.setdefault(tuple(int(c) for c in codes), item)
+
+    @classmethod
+    def from_pretrained(cls, save_dir: str, rqvae_artifact_dir: str,
+                        **kw) -> "LCRecRecommender":
+        from genrec_tpu.models.lcrec import LCRec
+        lcrec, params = LCRec.load_pretrained(save_dir)
+        _, _, sem_ids = load_rqvae_artifact(rqvae_artifact_dir)
+        return cls(lcrec, params, sem_ids, **kw)
+
+    def _prompt(self, history: Sequence[int]) -> str:
+        hist = list(history)[-self.max_seq_len:]
+        codes = ["".join(f"<C{i}_{int(c)}>"
+                         for i, c in enumerate(self.sem_ids[item]))
+                 for item in hist]
+        return self._template.format(history=self._render_history(codes))
+
+    def recommend(self, histories: Sequence[Sequence[int]],
+                  k: int = 10) -> List[List[int]]:
+        """0-based item histories → per-row ranked item ids (≤ k each)."""
+        B, L = len(histories), self.prompt_len
+        ids = np.zeros((B, L), np.int32)
+        mask = np.zeros((B, L), np.int32)
+        for r, h in enumerate(histories):
+            p = self.lcrec.tokenizer.encode(self._prompt(h))[-L:]
+            ids[r, L - len(p):] = p
+            mask[r, L - len(p):] = 1
+        out = self._generate(self.params, jnp.asarray(ids),
+                             jnp.asarray(mask))
         results = []
         for beams, logps in zip(np.asarray(out.sem_ids),
                                 np.asarray(out.log_probas)):

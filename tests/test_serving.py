@@ -54,3 +54,25 @@ def test_tiger_recommender_returns_catalog_items():
         for item in row:
             assert 0 <= item < n_items
         assert len(set(row)) == len(row)  # no duplicate items
+
+
+def test_lcrec_recommender_returns_catalog_items():
+    from genrec_tpu.models.lcrec import LCRec
+    from genrec_tpu.serving import LCRecRecommender
+
+    C, K = 3, 8
+    lcrec = LCRec(d_model=32, n_layers=1, n_heads=4, n_kv_heads=2,
+                  ff_dim=64, base_vocab=200, max_len=288,
+                  num_codebooks=C, codebook_size=K)
+    params = lcrec.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    sem_ids = rng.integers(0, K, (20, C)).astype(np.int32)
+
+    rec = LCRecRecommender(lcrec, params, sem_ids, num_beams=4,
+                           prompt_len=256)
+    rows = rec.recommend([[0, 1, 2], [3, 4]], k=3)
+    assert len(rows) == 2
+    for row in rows:
+        assert len(row) <= 3
+        for item in row:
+            assert 0 <= item < 20       # trie keeps us in the catalog
