@@ -134,3 +134,48 @@ def test_schedules_shapes():
     assert float(sched(jnp.asarray(2))) < float(sched(jnp.asarray(10)))
     with pytest.raises(ValueError):
         make_schedule(name="bogus")
+
+
+def _make_fsdp_engine(seed=0):
+    """Engine with ZeRO-3 placement over the data axis (8 devices)."""
+    mesh = make_mesh(data=8, model=1)
+    # 2048*64 = 131072 elements ≥ fsdp min_size → sharded over "data"
+    params = {"table": jnp.ones((2048, 64)) * 0.01,
+              "head": {"w": jnp.zeros((64, 8))}}
+
+    def loss_fn(p, batch, rng):
+        emb = p["table"][batch["ids"]]
+        pred = emb @ p["head"]["w"]
+        return jnp.mean((pred - batch["y"]) ** 2), {}
+
+    tx = optax.adam(1e-2)
+    return Engine(mesh, loss_fn, tx, params, rng=jax.random.PRNGKey(seed),
+                  shard_params="fsdp")
+
+
+def test_fsdp_save_restore_preserves_shardings(tmp_path):
+    """ZeRO-3 analogue of the sharded-resume contract: restore keeps the
+    data-axis placement and the continuation is bitwise identical."""
+    from jax.sharding import PartitionSpec as P
+
+    batch = {"ids": jnp.arange(16, dtype=jnp.int32) % 2048,
+             "y": jnp.ones((16, 8), jnp.float32)}
+    e = _make_fsdp_engine()
+    assert e.state.params["table"].sharding.spec == P("data", None)
+    for _ in range(2):
+        e.run_step(batch)
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    e.save(ckpt, config={"note": "fsdp"})
+
+    e2 = _make_fsdp_engine(seed=1)
+    assert e2.restore(ckpt)
+    assert e2.step == 2
+    restored = e2.state.params["table"]
+    assert restored.sharding.spec == P("data", None), restored.sharding
+    e.rng = jax.random.PRNGKey(7)
+    e2.rng = jax.random.PRNGKey(7)
+    m1 = e.run_step(batch)
+    m2 = e2.run_step(batch)
+    assert float(m1["loss"]) == float(m2["loss"])
+    np.testing.assert_array_equal(np.asarray(e.state.params["table"]),
+                                  np.asarray(e2.state.params["table"]))
