@@ -204,6 +204,60 @@ def bench_generate(batch_size: int, steps: int, warmup: int, small: bool,
     return B * steps / dt
 
 
+def bench_rqvae(batch_size: int, steps: int, warmup: int, small: bool):
+    """RQ-VAE train throughput at the reference recipe
+    (config/tiger/amazon/rqvae.gin: 768-d inputs, 32-d codes, 3x256
+    codebooks, STE + Sinkhorn-last, B=1024, fp32) — the stage-1 job the
+    reference runs for 5000 epochs, so its step rate gates the pipeline."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from genrec_tpu.core.train_state import TrainState, apply_updates
+    from genrec_tpu.models.rqvae import QuantizeForwardMode, RqVae
+
+    n_items = 2000 if small else 20000
+    model = RqVae(input_dim=768, embed_dim=32,
+                  hidden_dims=(512, 256, 128, 64), codebook_size=256,
+                  codebook_mode=QuantizeForwardMode.STE,
+                  codebook_last_layer_mode=QuantizeForwardMode.SINKHORN,
+                  n_layers=3)
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(n_items, 768)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    emb = jnp.asarray(emb)
+    B = batch_size
+    params = model.init({"params": jax.random.PRNGKey(0)}, emb[:B],
+                        gumbel_t=0.2)["params"]
+    # the trainer runs kmeans_init_params before its loop; for a pure
+    # step-throughput measurement random codebooks are equivalent and skip
+    # the Lloyd's-loop compile (several minutes on the remote service)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
+    state = TrainState.create(params, tx)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, x, rng):
+        def loss_fn(p):
+            out = model.apply({"params": p}, x, gumbel_t=0.2, train=True,
+                              rng=rng)
+            return out.loss
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return apply_updates(state, grads, tx), loss
+
+    key = jax.random.PRNGKey(2)
+    ix = jnp.asarray(rng.integers(0, n_items, (steps + warmup, B)))
+    for i in range(warmup):
+        key, k = jax.random.split(key)
+        state, loss = step(state, emb[ix[i]], k)
+    float(np.asarray(loss))
+    t0 = time.perf_counter()
+    for i in range(warmup, warmup + steps):
+        key, k = jax.random.split(key)
+        state, loss = step(state, emb[ix[i]], k)
+    final = float(np.asarray(loss))
+    dt = time.perf_counter() - t0
+    return B * steps / dt, final
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
@@ -217,7 +271,7 @@ def main():
     ap.add_argument("--generate", action="store_true",
                     help="measure trie-constrained generation throughput")
     ap.add_argument("--model", default="tiger",
-                    choices=["tiger", "sasrec", "hstu"],
+                    choices=["tiger", "sasrec", "hstu", "rqvae"],
                     help="which model's train step to benchmark")
     args = ap.parse_args()
 
@@ -252,6 +306,21 @@ def main():
             "vs_baseline": round(efficiency / 0.85, 4),
         }))
         print(f"# 1chip={eps1:.0f} {n_chips}chips={epsN:.0f} ex/s",
+              file=sys.stderr)
+        return
+
+    if args.model == "rqvae":
+        b = args.batch or (128 if args.smoke else 1024)
+        eps, loss = bench_rqvae(b, steps, warmup, small=args.smoke)
+        print(json.dumps({
+            "metric": "rqvae_train_examples_per_sec_per_chip",
+            "value": round(eps / max(n_chips, 1), 2),
+            "unit": "examples/sec/chip",
+            "vs_baseline": round(
+                eps / max(n_chips, 1) / NOMINAL_BASELINE_EXAMPLES_PER_SEC, 4),
+        }))
+        print(f"# devices={n_chips} platform={jax.devices()[0].platform} "
+              f"batch={b} steps={steps} final_loss={loss:.3f}",
               file=sys.stderr)
         return
 
