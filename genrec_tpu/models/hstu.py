@@ -156,7 +156,10 @@ class HSTU(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, timestamps=None, targets=None,
-                 deterministic: bool = True) -> HSTUOutput:
+                 deterministic: bool = True, return_hidden: bool = False):
+        """``return_hidden=True`` short-circuits to ``(hidden, item_emb)``
+        before the logits matmul — for sharded losses (vocab-parallel CE)
+        that score against the row-sharded table themselves."""
         item_emb = self.param(
             "item_embedding", nn.initializers.truncated_normal(stddev=0.02),
             (self.num_items + 1, self.embed_dim))
@@ -183,6 +186,9 @@ class HSTU(nn.Module):
                     x, padding_mask, time_onehot, deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                          name="final_norm")(x).astype(self.dtype)
+
+        if return_hidden:
+            return x, item_emb
 
         if targets is not None and self.fused_ce:
             # chunked linear+CE over the full catalog (see sasrec.py)

@@ -145,10 +145,11 @@ fused_linear_cross_entropy.defvjp(_fwd, _bwd)
 # vocab-parallel variant (Megatron-style): table sharded over a mesh axis
 # ---------------------------------------------------------------------------
 
-def _local_stats(x, w_loc, labels, v_off, V_loc, chunk):
+def _local_stats(x, w_loc, labels, v_off, V_loc, v_true, chunk):
     """Chunked (m, s, t) logsumexp stats of x against the LOCAL vocab rows
     ``[v_off, v_off + V_loc)``; t is nonzero only where this shard owns the
-    label. All in fp32."""
+    label. Global ids ≥ ``v_true`` (host-side table padding) and local
+    chunk-padding columns are masked out. All in fp32."""
     N = x.shape[0]
     nc = -(-V_loc // chunk)
     pad = nc * chunk - V_loc
@@ -160,8 +161,8 @@ def _local_stats(x, w_loc, labels, v_off, V_loc, chunk):
         z = jax.lax.dot_general(x, wc, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         loc = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        z = jnp.where(loc < V_loc, z, -jnp.inf)
         ids = v_off + loc                                    # global ids
+        z = jnp.where((loc < V_loc) & (ids < v_true), z, -jnp.inf)
         m2 = jnp.maximum(m, jnp.max(z, axis=1))
         s = s * jnp.exp(m - m2) + jnp.sum(jnp.exp(z - m2[:, None]), axis=1)
         hit = labels[:, None] == ids
@@ -174,7 +175,7 @@ def _local_stats(x, w_loc, labels, v_off, V_loc, chunk):
     return m, s, t
 
 
-def _local_grads(x, w_loc, labels, lse, scale, v_off, V_loc, chunk):
+def _local_grads(x, w_loc, labels, lse, scale, v_off, V_loc, v_true, chunk):
     """(dx_partial, dw_loc) of this shard's vocab slice (fp32 dx)."""
     dt = x.dtype
     nc = -(-V_loc // chunk)
@@ -187,7 +188,8 @@ def _local_grads(x, w_loc, labels, lse, scale, v_off, V_loc, chunk):
                                 preferred_element_type=jnp.float32)
         loc = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         ids = v_off + loc
-        p = jnp.where(loc < V_loc, jnp.exp(z - lse[:, None]), 0.0)
+        live = (loc < V_loc) & (ids < v_true)
+        p = jnp.where(live, jnp.exp(z - lse[:, None]), 0.0)
         hit = (labels[:, None] == ids).astype(jnp.float32)
         dz = ((p - hit) * scale[:, None]).astype(dt)
         dx = dx + jnp.dot(dz, wc, preferred_element_type=jnp.float32)
@@ -229,11 +231,19 @@ def make_vocab_parallel_ce(mesh, *, data_axis: str = "data",
     def loss_fn(x, w, labels):
         return _loss_fwd(x, w, labels)[0]
 
-    def _body_fwd(x, w_loc, labels):
+    def _pad_vocab(w):
+        """Pad rows so the vocab axis divides the model axis; padded global
+        ids are masked to -inf inside the shards."""
+        V = w.shape[0]
+        pad = -V % n_model
+        return (jnp.pad(w, ((0, pad), (0, 0))) if pad else w), V
+
+    def _body_fwd(x, w_loc, labels, v_true):
         V_loc = w_loc.shape[0]
         v_off = jax.lax.axis_index(model_axis) * V_loc
         labels = labels.astype(jnp.int32)
-        m_l, s_l, t_l = _local_stats(x, w_loc, labels, v_off, V_loc, chunk)
+        m_l, s_l, t_l = _local_stats(x, w_loc, labels, v_off, V_loc,
+                                     v_true, chunk)
         m = jax.lax.pmax(m_l, model_axis)
         s = jax.lax.psum(s_l * jnp.exp(m_l - m), model_axis)
         t = jax.lax.psum(t_l, model_axis)
@@ -244,22 +254,25 @@ def make_vocab_parallel_ce(mesh, *, data_axis: str = "data",
         return loss, lse, valid, n_valid
 
     def _loss_fwd(x, w, labels):
+        wp, V = _pad_vocab(w)
         fwd = shard_map(
-            _body_fwd, mesh=mesh, in_specs=(x_spec, w_spec, l_spec),
+            functools.partial(_body_fwd, v_true=V),
+            mesh=mesh, in_specs=(x_spec, w_spec, l_spec),
             out_specs=(P(), P(data_axis), P(data_axis), P()),
             check_rep=False)
-        loss, lse, valid, n_valid = fwd(x, w, labels)
+        loss, lse, valid, n_valid = fwd(x, wp, labels)
         return loss, (x, w, labels, lse, valid, n_valid)
 
     def _loss_bwd(res, g):
         x, w, labels, lse, valid, n_valid = res
+        wp, V = _pad_vocab(w)
 
         def body(x, w_loc, labels, lse, valid, n_valid, g):
             V_loc = w_loc.shape[0]
             v_off = jax.lax.axis_index(model_axis) * V_loc
             scale = g * valid / n_valid
             dx_p, dw_loc = _local_grads(x, w_loc, labels.astype(jnp.int32),
-                                        lse, scale, v_off, V_loc, chunk)
+                                        lse, scale, v_off, V_loc, V, chunk)
             dx = jax.lax.psum(dx_p, model_axis)      # all vocab shards
             dw = jax.lax.psum(dw_loc, data_axis)     # all row shards
             return dx.astype(x.dtype), dw
@@ -269,10 +282,10 @@ def make_vocab_parallel_ce(mesh, *, data_axis: str = "data",
             in_specs=(x_spec, w_spec, l_spec, P(data_axis), P(data_axis),
                       P(), P()),
             out_specs=(x_spec, w_spec), check_rep=False)
-        dx, dw = bwd(x, w, labels, lse, valid, n_valid,
+        dx, dw = bwd(x, wp, labels, lse, valid, n_valid,
                      jnp.asarray(g, jnp.float32))
-        return dx, dw.astype(w.dtype), np.zeros(labels.shape,
-                                                jax.dtypes.float0)
+        return dx[:x.shape[0]], dw[:w.shape[0]].astype(w.dtype), \
+            np.zeros(labels.shape, jax.dtypes.float0)
 
     loss_fn.defvjp(_loss_fwd, _loss_bwd)
     return loss_fn

@@ -49,11 +49,12 @@ def train(epochs: int = 10, batch_size: int = 128,
           wandb_log_interval: int = 100,
           amp: bool = True, mixed_precision_type: str = "bf16",
           seed: int = 42, fast_rng: bool = True, shard_params: bool = False,
+          model_parallelism: int = 1,
           resume_from_checkpoint: bool = False, max_steps_per_epoch: int = 0, **unused) -> dict:
     logger = setup_logger("hstu", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)
-    mesh = make_mesh()
+    mesh = make_mesh(model=model_parallelism)
 
     corpus = _load_corpus(dataset_type, dataset_folder, split)
     num_items = corpus.num_items
@@ -91,11 +92,27 @@ def train(epochs: int = 10, batch_size: int = 128,
     tx = make_optimizer(schedule, optimizer="adam", b1=0.9, b2=0.98,
                         weight_decay=weight_decay, grad_clip_norm=None)
 
-    def loss_fn(params, batch, rng):
-        out = model.apply({"params": params}, batch.ids,
-                          timestamps=batch.x, targets=batch.ids_fut,
-                          deterministic=False, rngs={"dropout": rng})
-        return out.loss, {}
+    if shard_params and mesh.shape["model"] > 1:
+        # keep the row-sharded catalog sharded through the loss
+        # (see sasrec_trainer.py / ops/fused_ce.py)
+        from genrec_tpu.ops.fused_ce import make_vocab_parallel_ce
+        vp_ce = make_vocab_parallel_ce(mesh, ignore_index=0)
+        logger.info("using vocab-parallel CE over the model axis")
+
+        def loss_fn(params, batch, rng):
+            x, item_emb = model.apply(
+                {"params": params}, batch.ids, timestamps=batch.x,
+                deterministic=False, rngs={"dropout": rng},
+                return_hidden=True)
+            loss = vp_ce(x.reshape(-1, x.shape[-1]), item_emb,
+                         batch.ids_fut.reshape(-1))
+            return loss, {}
+    else:
+        def loss_fn(params, batch, rng):
+            out = model.apply({"params": params}, batch.ids,
+                              timestamps=batch.x, targets=batch.ids_fut,
+                              deterministic=False, rngs={"dropout": rng})
+            return out.loss, {}
 
     @jax.jit
     def eval_step(params, batch):

@@ -89,11 +89,11 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
           save_dir_root: str = "out/lcrec", save_every_epoch: int = 2,
           wandb_logging: bool = False, wandb_project: str = "",
           wandb_log_interval: int = 50, seed: int = 42, fast_rng: bool = True,
-          max_steps_per_epoch: int = 0, **unused) -> dict:
+          max_steps_per_epoch: int = 0, model_parallelism: int = 1, **unused) -> dict:
     logger = setup_logger("lcrec", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)
-    mesh = make_mesh()
+    mesh = make_mesh(model=model_parallelism)
 
     if dataset_type == "synthetic":
         from genrec_tpu.data.synthetic import synthetic_corpus

@@ -49,11 +49,11 @@ def train(steps: int = 200, learning_rate: float = 3e-4,
           n_topics: int = 32, eval_pairs: int = 128, eval_every: int = 50,
           save_dir_root: str = "out/notellm", wandb_logging: bool = False,
           wandb_project: str = "", seed: int = 42, fast_rng: bool = True,
-          **unused) -> dict:
+          model_parallelism: int = 1, **unused) -> dict:
     logger = setup_logger("notellm", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)
-    mesh = make_mesh()
+    mesh = make_mesh(model=model_parallelism)
 
     model = Query2Embedding(
         vocab_size=vocab_size, emb_token_id=emb_token_id, d_model=d_model,

@@ -106,11 +106,11 @@ def train(epochs: int = 5000, iterations: int = 0,
           wandb_logging: bool = False, wandb_project: str = "",
           wandb_log_interval: int = 100, seed: int = 42, fast_rng: bool = True,
           resume_from_checkpoint: bool = False,
-          dataset=None, **unused) -> dict:
+          dataset=None, model_parallelism: int = 1, **unused) -> dict:
     logger = setup_logger("rqvae", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)
-    mesh = make_mesh()
+    mesh = make_mesh(model=model_parallelism)
 
     train_ds = _load_item_dataset(dataset_type, dataset_folder, split,
                                   encoder_model_name, "train")

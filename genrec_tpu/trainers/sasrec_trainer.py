@@ -86,12 +86,13 @@ def train(epochs: int = 10, batch_size: int = 128,
           wandb_log_interval: int = 100,
           amp: bool = True, mixed_precision_type: str = "bf16",
           seed: int = 42, fast_rng: bool = True, shard_params: bool = False,
+          model_parallelism: int = 1,
           resume_from_checkpoint: bool = False, max_steps_per_epoch: int = 0,
           **unused) -> dict:
     logger = setup_logger("sasrec", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)
-    mesh = make_mesh()
+    mesh = make_mesh(model=model_parallelism)
     logger.info("mesh: %s", mesh)
 
     corpus = _load_corpus(dataset_type, dataset_folder, split)
@@ -136,11 +137,27 @@ def train(epochs: int = 10, batch_size: int = 128,
     tx = make_optimizer(schedule, optimizer="adam", b1=0.9, b2=0.98,
                         weight_decay=weight_decay, grad_clip_norm=None)
 
-    def loss_fn(params, batch, rng):
-        out = model.apply({"params": params}, batch.ids,
-                          targets=batch.ids_fut, deterministic=False,
-                          rngs={"dropout": rng})
-        return out.loss, {}
+    if shard_params and mesh.shape["model"] > 1:
+        # with the catalog table row-sharded, the replicated fused CE
+        # would all-gather it per chunk; the vocab-parallel variant keeps
+        # it sharded through the loss (ops/fused_ce.py)
+        from genrec_tpu.ops.fused_ce import make_vocab_parallel_ce
+        vp_ce = make_vocab_parallel_ce(mesh, ignore_index=0)
+        logger.info("using vocab-parallel CE over the model axis")
+
+        def loss_fn(params, batch, rng):
+            x, item_emb = model.apply(
+                {"params": params}, batch.ids, deterministic=False,
+                rngs={"dropout": rng}, method="hidden")
+            loss = vp_ce(x.reshape(-1, x.shape[-1]), item_emb,
+                         batch.ids_fut.reshape(-1))
+            return loss, {}
+    else:
+        def loss_fn(params, batch, rng):
+            out = model.apply({"params": params}, batch.ids,
+                              targets=batch.ids_fut, deterministic=False,
+                              rngs={"dropout": rng})
+            return out.loss, {}
 
     engine = Engine(mesh, loss_fn, tx, params, rng=rng,
                     shard_params=shard_params)

@@ -86,11 +86,11 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
           wandb_log_interval: int = 100, seed: int = 42, fast_rng: bool = True, shard_params: bool = False,
           resume_from_checkpoint: bool = False,
           max_steps_per_epoch: int = 0, sem_ids_table=None,
-          dataset=None, **unused) -> dict:
+          dataset=None, model_parallelism: int = 1, **unused) -> dict:
     logger = setup_logger("tiger", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)
-    mesh = make_mesh()
+    mesh = make_mesh(model=model_parallelism)
 
     # --- semantic-ID table (the RQ-VAE artifact contract) ---
     if sem_ids_table is not None:

@@ -186,7 +186,7 @@ def test_vocab_parallel_ce_matches_unsharded():
 
     mesh = make_mesh(data=4, model=2)
     rng = np.random.default_rng(5)
-    N, D, V = 16, 32, 256
+    N, D, V = 16, 32, 250   # V % model-axis != 0: pad path
     x = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
     w = jnp.asarray(rng.normal(size=(V, D)) * 0.3, jnp.float32)
     labels = jnp.asarray(rng.integers(0, V, N), jnp.int32)
