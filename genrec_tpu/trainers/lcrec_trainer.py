@@ -34,13 +34,18 @@ EVAL_KS = (1, 5, 10)
 
 
 def sft_collate(model: LCRec, samples: List[dict], max_len: int):
-    """Right-padded input ids + prompt-masked labels (−100)."""
+    """Right-padded input ids + prompt-masked labels (−100).
+
+    Tokenization is memoized on the sample dict: samples are reused every
+    epoch and subword tokenization is the loader's host-side hot spot."""
     B = len(samples)
     ids = np.zeros((B, max_len), np.int32)
     mask = np.zeros((B, max_len), np.int32)
     labels = np.full((B, max_len), -100, np.int32)
     for r, s in enumerate(samples):
-        tok = model.tokenize_sft(s["prompt"], s["response"])
+        tok = s.get("_tok")
+        if tok is None:
+            tok = s["_tok"] = model.tokenize_sft(s["prompt"], s["response"])
         seq = tok["input_ids"][:max_len]
         p_len = min(tok["prompt_seq_length"], max_len)
         ids[r, :len(seq)] = seq
@@ -58,7 +63,10 @@ def eval_collate(model: LCRec, samples: List[dict], max_len: int):
     mask = np.zeros((B, max_len), np.int32)
     tgt = np.zeros((B, C), np.int32)
     for r, s in enumerate(samples):
-        p = model.tokenizer.encode(s["prompt"])[-max_len:]
+        p = s.get("_ptok")
+        if p is None:
+            p = s["_ptok"] = model.tokenizer.encode(s["prompt"])
+        p = p[-max_len:]
         ids[r, max_len - len(p):] = p
         mask[r, max_len - len(p):] = 1
         tgt[r] = s["target_sem_ids"]
