@@ -50,6 +50,49 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0,) if donate else (), **kwargs)
 
 
+def _leaf_key(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path)
+
+
+def split_params(params, trainable_mask):
+    """(trainable {path: leaf}, full-tree params) per a bool-pytree mask."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    mask = jax.tree_util.tree_leaves(trainable_mask)
+    assert len(flat) == len(mask), "mask/param tree mismatch"
+    return {_leaf_key(path): leaf
+            for (path, leaf), m in zip(flat, mask) if m}
+
+
+def merge_params(params, trainable: dict):
+    """Full tree with trainable leaves (by path key) substituted in."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    leaves = [trainable.get(_leaf_key(path), leaf) for path, leaf in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def make_split_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
+                          mesh, donate: bool = True):
+    """``step(state, frozen, batch, rng)``: grads/optimizer exist only for
+    the trainable subset (``state.params`` is a path-keyed dict) — unlike
+    an ``optax.multi_transform`` freeze, the full-tree fp32 grad pytree
+    never materialises, which is what makes LoRA on a billion-param
+    backbone fit one chip (cf. scripts/qwen_scale_bench.py)."""
+
+    def step(state: TrainState, frozen, batch, rng):
+        def compute(trainable):
+            return loss_fn(merge_params(frozen, trainable), batch, rng)
+        (loss, metrics), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        new_state = apply_updates(state, grads, tx)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(metric_fn: Callable, mesh):
     """jit a pure eval fn ``(params, batch) -> metric sums`` (psum-ready)."""
     rep = replicated_sharding(mesh)
@@ -97,13 +140,22 @@ class Engine:
     def __init__(self, mesh, loss_fn: LossFn,
                  tx: optax.GradientTransformation, params,
                  rng: Optional[jax.Array] = None,
-                 shard_params=False):
+                 shard_params=False, trainable_mask=None):
         """``shard_params``: False = replicate everything; True/"tables" =
         row-shard vocabulary tables over the model axis; "fsdp" = ZeRO-3
         placement of every large param over the data axis (full-FT LLMs).
+
+        ``trainable_mask``: bool pytree matching ``params`` — when given,
+        only the masked leaves get grads/optimizer state (the rest is a
+        frozen side input); use :attr:`full_params` wherever the merged
+        tree is needed (eval, generation, persistence).
         """
         self.mesh = mesh
         self.tx = tx
+        self.frozen = None
+        if shard_params and trainable_mask is not None:
+            raise ValueError("shard_params and trainable_mask cannot be "
+                             "combined yet (freeze implies replication)")
         if shard_params:
             from genrec_tpu.parallel.sharding import (apply_shardings,
                                                       fsdp_shardings,
@@ -124,20 +176,43 @@ class Engine:
                 return x
 
             self.state = jax.tree_util.tree_map(place, state)
+        elif trainable_mask is not None:
+            rep = replicated_sharding(mesh)
+            self.frozen = jax.device_put(params, rep)
+            trainable = split_params(self.frozen, trainable_mask)
+            if not trainable:
+                raise ValueError("trainable_mask selects no parameters")
+            self.state = jax.device_put(TrainState.create(trainable, tx),
+                                        rep)
         else:
             self.state = jax.device_put(TrainState.create(params, tx),
                                         replicated_sharding(mesh))
-        self.train_step = make_train_step(loss_fn, tx, mesh,
-                                          sharded_params=shard_params)
+        if self.frozen is not None:
+            self.train_step = make_split_train_step(loss_fn, tx, mesh)
+        else:
+            self.train_step = make_train_step(loss_fn, tx, mesh,
+                                              sharded_params=shard_params)
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.timer = StepTimer()
 
     def run_step(self, batch) -> Dict[str, jax.Array]:
         self.rng, step_rng = jax.random.split(self.rng)
         device_batch = shard_batch(batch, self.mesh)
-        self.state, metrics = self.train_step(self.state, device_batch,
-                                              step_rng)
+        if self.frozen is not None:
+            self.state, metrics = self.train_step(self.state, self.frozen,
+                                                  device_batch, step_rng)
+        else:
+            self.state, metrics = self.train_step(self.state, device_batch,
+                                                  step_rng)
         return metrics
+
+    @property
+    def full_params(self):
+        """The complete parameter tree (merging frozen + trainable when a
+        ``trainable_mask`` split is active)."""
+        if self.frozen is None:
+            return self.state.params
+        return merge_params(self.frozen, self.state.params)
 
     @property
     def step(self) -> int:

@@ -7,7 +7,7 @@ eval parsing ``<Ci_j>`` and scoring exact/TopK for seqrec (:131-239),
 ``max_train_samples`` debug cap (:327-333), eval-only mode (:357-364),
 HF-format checkpoints (:419-430), and optional LoRA (:306-315 — here
 ``use_lora=True`` adds low-rank adapters to every projection and freezes the
-base weights via ``optax.multi_transform``).
+base weights via an Engine-level trainable/frozen split).
 
 Run: ``python -m genrec_tpu.trainers.lcrec_trainer config/lcrec/synthetic.gin``
 """
@@ -198,12 +198,15 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
                              total_steps=total_steps)
     tx = make_optimizer(schedule, optimizer="adamw",
                         weight_decay=weight_decay, grad_clip_norm=1.0)
+    trainable_mask = None
     if use_lora:
-        # peft parity: only the low-rank adapters train; base weights frozen
-        import optax
-        from genrec_tpu.models.llm import lora_label_fn
-        tx = optax.multi_transform(
-            {"train": tx, "freeze": optax.set_to_zero()}, lora_label_fn)
+        # peft parity: only the low-rank adapters train. The freeze is an
+        # Engine-level trainable/frozen split (grads + Adam state exist for
+        # the adapters alone), not an optax mask — at a Qwen2.5-class
+        # backbone the full-tree fp32 grad pytree would not fit one chip.
+        from genrec_tpu.models.llm import lora_label_fn, lora_param_mask
+        lora_label_fn(params)   # raises early if no adapters exist
+        trainable_mask = lora_param_mask(params)
 
     if vocab_parallel_ce:
         # Megatron-style loss: the (V, D) token table stays row-sharded
@@ -231,7 +234,8 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
     # fsdp: ZeRO-3 placement of the backbone over the data axis — the
     # memory path for full fine-tuning (param/grad/Adam scale 1/N chips)
     engine = Engine(mesh, loss_fn, tx, params, rng=rng,
-                    shard_params="fsdp" if fsdp else False)
+                    shard_params="fsdp" if fsdp else False,
+                    trainable_mask=trainable_mask)
     mlogger = MetricLogger(save_dir_root, wandb_project, wandb_logging,
                            enabled=pidx == 0)
     generate = model.make_generate_topk(
@@ -252,7 +256,7 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
         for batch in iter_batches(eval_samples, ebs, batch_fn_eval,
                                   False, 0):
             db = shard_batch(batch, mesh)
-            out = generate(engine.state.params, db["input_ids"],
+            out = generate(engine.full_params, db["input_ids"],
                            db["attention_mask"])
             sums = topk_metric_sums(db["target_sem_ids"], out.sem_ids,
                                     EVAL_KS, valid=db["valid"])
@@ -296,12 +300,12 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
                         {k: round(v, 4) for k, v in m.items()})
         if (epoch + 1) % save_every_epoch == 0:
             model.save_pretrained(os.path.join(save_dir_root, "hf_ckpt"),
-                                  engine.state.params)
+                                  engine.full_params)
 
     final = evaluate()
     logger.info("final: %s", {k: round(v, 4) for k, v in final.items()})
     model.save_pretrained(os.path.join(save_dir_root, "hf_ckpt"),
-                          engine.state.params)
+                          engine.full_params)
     mlogger.close()
     return final
 

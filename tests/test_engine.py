@@ -179,3 +179,43 @@ def test_fsdp_save_restore_preserves_shardings(tmp_path):
     assert float(m1["loss"]) == float(m2["loss"])
     np.testing.assert_array_equal(np.asarray(e.state.params["table"]),
                                   np.asarray(e2.state.params["table"]))
+
+
+def test_trainable_split_matches_multi_transform_freeze():
+    """Engine(trainable_mask=...) must train exactly like the optax
+    multi_transform freeze — but without full-tree grads/opt state."""
+    import optax
+
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    params = {"base": {"w": jnp.ones((4, 4))},
+              "adapter": {"a": jnp.full((4, 4), 0.1)}}
+    batch = _batch()
+
+    def loss_fn(p, batch, rng):
+        pred = batch["x"] @ (p["base"]["w"] + p["adapter"]["a"])
+        return jnp.mean((pred - batch["y"]) ** 2), {}
+
+    mask = {"base": {"w": False}, "adapter": {"a": True}}
+    tx = optax.adam(1e-2)
+    split_eng = Engine(mesh, loss_fn, tx, params, trainable_mask=mask,
+                       rng=jax.random.PRNGKey(0))
+    assert set(split_eng.state.params) == {"adapter/a"}
+
+    ref_tx = optax.multi_transform(
+        {"train": optax.adam(1e-2), "freeze": optax.set_to_zero()},
+        {"base": {"w": "freeze"}, "adapter": {"a": "train"}})
+    ref_eng = Engine(mesh, loss_fn, ref_tx,
+                     jax.tree_util.tree_map(jnp.array, params),
+                     rng=jax.random.PRNGKey(0))
+
+    for _ in range(3):
+        m1 = split_eng.run_step(batch)
+        m2 = ref_eng.run_step(batch)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-6)
+    full = split_eng.full_params
+    np.testing.assert_array_equal(np.asarray(full["base"]["w"]),
+                                  np.ones((4, 4)))   # frozen untouched
+    np.testing.assert_allclose(
+        np.asarray(full["adapter"]["a"]),
+        np.asarray(ref_eng.state.params["adapter"]["a"]), rtol=1e-6)
