@@ -15,7 +15,6 @@ import time
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 

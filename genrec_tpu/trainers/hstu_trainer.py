@@ -23,8 +23,8 @@ from genrec_tpu.core import (CheckpointManager, Engine, MetricLogger,
 from genrec_tpu.data import Loader, sasrec_eval_batch, sasrec_train_batch
 from genrec_tpu.models.hstu import HSTU
 from genrec_tpu.models.sasrec import predict_topk
-from genrec_tpu.ops import TopKAccumulator, topk_metric_sums
-from genrec_tpu.parallel import make_mesh, shard_batch
+from genrec_tpu.ops import topk_metric_sums
+from genrec_tpu.parallel import make_mesh
 from genrec_tpu.trainers.sasrec_trainer import _load_corpus
 
 EVAL_KS = (1, 5, 10)
