@@ -278,6 +278,8 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
         logger.info("eval-only: %s", {k: round(v, 4) for k, v in m.items()})
         return m
 
+    from genrec_tpu.core.preemption import PreemptionGuard
+    guard = PreemptionGuard()
     timer = StepTimer()
     for epoch in range(epochs):
         for i, batch in enumerate(iter_batches(
@@ -290,6 +292,14 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
             if engine.step % wandb_log_interval == 0:
                 mlogger.log({k: float(np.asarray(v))
                              for k, v in metrics.items()}, engine.step)
+            if guard.should_stop():
+                logger.warning("preemption signal: saving HF checkpoint at "
+                               "step %d and exiting", engine.step)
+                model.save_pretrained(
+                    os.path.join(save_dir_root, "hf_ckpt"),
+                    engine.full_params)
+                mlogger.close()
+                return {"preempted_at_step": engine.step}
         logger.info("epoch %d: loss=%.4f (%.0f ex/s)", epoch,
                     float(np.asarray(metrics["loss"])),
                     timer.examples_per_sec)

@@ -200,6 +200,8 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
     acc = TopKAccumulator(ks=EVAL_KS)
     eval_rng = jax.random.PRNGKey(seed + 1)
 
+    from genrec_tpu.core.preemption import PreemptionGuard
+    guard = PreemptionGuard()
     timer = StepTimer()
     best_valid, results = -1.0, {}
     for epoch in range(epochs):
@@ -212,6 +214,14 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
                 host = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 host["examples_per_sec"] = timer.examples_per_sec
                 mlogger.log(host, engine.step)
+            if guard.should_stop():
+                logger.warning("preemption signal: checkpointing at step %d "
+                               "and exiting (resume with "
+                               "train.resume_from_checkpoint=True)",
+                               engine.step)
+                engine.save(ckpt, config=gin.operative_config())
+                mlogger.close()
+                return {"preempted_at_step": engine.step}
         logger.info("epoch %d: loss=%.4f (%.0f ex/s)", epoch,
                     float(np.asarray(metrics["loss"])),
                     timer.examples_per_sec)
