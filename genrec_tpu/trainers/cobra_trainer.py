@@ -176,6 +176,8 @@ def train(epochs: int = 10, learning_rate: float = 1e-4,
                              for k, v in sums.items()})
         return acc.reduce()
 
+    from genrec_tpu.core.preemption import PreemptionGuard
+    guard = PreemptionGuard()
     timer = StepTimer()
     for epoch in range(epochs):
         for i, batch in enumerate(train_loader):
@@ -183,6 +185,10 @@ def train(epochs: int = 10, learning_rate: float = 1e-4,
                 break
             metrics = engine.run_step(batch)
             timer.tick(batch.input_ids.shape[0])
+            if guard.should_stop():
+                logger.warning("preemption signal: checkpointing at step %d and exiting", engine.step)
+                engine.save(ckpt, config=gin.operative_config())
+                return {"preempted_at_step": engine.step}
             if engine.step % wandb_log_interval == 0:
                 mlogger.log({k: float(np.asarray(v))
                              for k, v in metrics.items()}, engine.step)

@@ -190,6 +190,8 @@ def train(epochs: int = 5000, iterations: int = 0,
                           train=False)
         return out.loss, out.reconstruction_loss
 
+    from genrec_tpu.core.preemption import PreemptionGuard
+    guard = PreemptionGuard()
     data_rng = np.random.default_rng(seed)
     timer = StepTimer()
     step = 0
@@ -200,6 +202,11 @@ def train(epochs: int = 5000, iterations: int = 0,
         metrics = engine.run_step(jnp.asarray(train_emb[idx]))
         timer.tick(len(idx))
         step = engine.step
+        if guard.should_stop():
+            logger.warning("preemption signal: checkpointing at step %d "
+                           "and exiting", step)
+            engine.save(ckpt, config=model_config)
+            return {"preempted_at_step": step}
         if step % wandb_log_interval == 0:
             host = {k: float(np.asarray(v)) for k, v in metrics.items()}
             host["examples_per_sec"] = timer.examples_per_sec

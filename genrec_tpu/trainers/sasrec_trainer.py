@@ -169,6 +169,8 @@ def train(epochs: int = 10, batch_size: int = 128,
         logger.info("resumed from step %d", engine.step)
 
     best_recall10, best_params = -1.0, None
+    from genrec_tpu.core.preemption import PreemptionGuard
+    guard = PreemptionGuard()
     timer = StepTimer()
     for epoch in range(epochs):
         for i, batch in enumerate(train_loader):
@@ -176,6 +178,10 @@ def train(epochs: int = 10, batch_size: int = 128,
                 break
             metrics = engine.run_step(batch)
             timer.tick(batch.ids.shape[0])
+            if guard.should_stop():
+                logger.warning("preemption signal: checkpointing at step %d and exiting", engine.step)
+                engine.save(ckpt, config=gin.operative_config())
+                return {"preempted_at_step": engine.step}
             if engine.step % wandb_log_interval == 0:
                 host = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 host["examples_per_sec"] = timer.examples_per_sec
