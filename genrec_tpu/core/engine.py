@@ -152,9 +152,6 @@ class Engine:
         self.mesh = mesh
         self.tx = tx
         self.frozen = None
-        if shard_params and trainable_mask is not None:
-            raise ValueError("shard_params and trainable_mask cannot be "
-                             "combined yet (freeze implies replication)")
         if shard_params:
             from genrec_tpu.parallel.sharding import (apply_shardings,
                                                       fsdp_shardings,
@@ -162,6 +159,14 @@ class Engine:
             rule = (fsdp_shardings if shard_params == "fsdp"
                     else param_shardings)
             params = apply_shardings(params, rule(mesh, params))
+            if trainable_mask is not None:
+                # sharded frozen base + (small, replicated-by-the-min-size-
+                # rule) trainable subset: multi-chip LoRA on big backbones
+                self.frozen = params
+                trainable = split_params(params, trainable_mask)
+                if not trainable:
+                    raise ValueError("trainable_mask selects no parameters")
+                params = trainable
             state = TrainState.create(params, tx)
             # tx.init outputs inherit param shardings (mu/nu are computed
             # from the already-placed params), but fresh scalars (step,

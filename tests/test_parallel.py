@@ -205,3 +205,45 @@ def test_vocab_parallel_ce_matches_unsharded():
     for a, b, name in zip(gs, gr, ("dx", "dw")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-6, err_msg=name)
+
+
+def test_fsdp_with_lora_split():
+    """ZeRO-3 frozen base + replicated LoRA adapters: the multi-chip LoRA
+    combination. The fsdp min-size rule leaves adapters replicated; only
+    they get grads/optimizer state, and training matches the
+    single-device split engine."""
+    import optax
+
+    from genrec_tpu.core.engine import Engine
+    from genrec_tpu.models.llm import CausalLM, lora_param_mask
+
+    model = CausalLM(vocab_size=1024, d_model=64, n_layers=2, n_heads=4,
+                     n_kv_heads=2, ff_dim=1024, max_len=16, lora_rank=4)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(1, 1024, (16, 12)), jnp.int32)
+    labels = jnp.asarray(ids)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids)["params"]
+    mask = lora_param_mask(params)
+
+    def loss_fn(p, batch, rng):
+        return model.apply({"params": p}, batch["ids"],
+                           labels=batch["labels"]).loss, {}
+
+    batch = {"ids": ids, "labels": labels}
+    losses = {}
+    for name, mesh, mode in (
+            ("fsdp", make_mesh(data=8, model=1), "fsdp"),
+            ("rep", make_mesh(data=1, model=1,
+                              devices=jax.devices()[:1]), False)):
+        own = jax.tree_util.tree_map(jnp.array, params)
+        eng = Engine(mesh, loss_fn, optax.adamw(1e-3), own,
+                     shard_params=mode, trainable_mask=mask,
+                     rng=jax.random.PRNGKey(2))
+        if name == "fsdp":
+            wte = eng.frozen["wte"]
+            assert wte.sharding.spec == jax.sharding.PartitionSpec(
+                "data", None)
+            assert all("lora" in k for k in eng.state.params)
+        losses[name] = [float(np.asarray(eng.run_step(batch)["loss"]))
+                        for _ in range(2)]
+    np.testing.assert_allclose(losses["fsdp"], losses["rep"], rtol=2e-5)
