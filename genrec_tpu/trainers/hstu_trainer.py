@@ -114,13 +114,28 @@ def train(epochs: int = 10, batch_size: int = 128,
                               deterministic=False, rngs={"dropout": rng})
             return out.loss, {}
 
-    @jax.jit
-    def eval_step(params, batch):
-        out = model.apply({"params": params}, batch.ids,
-                          timestamps=batch.x, deterministic=True)
-        topk = predict_topk(out.logits[:, -1, :], max(EVAL_KS))
-        return topk_metric_sums(batch.ids_fut[:, None], topk[:, :, None],
-                                EVAL_KS, valid=batch.valid)
+    if shard_params and mesh.shape["model"] > 1:
+        from genrec_tpu.trainers.sasrec_trainer import sharded_predict_topk
+
+        @jax.jit
+        def eval_step(params, batch):
+            x, item_emb = model.apply({"params": params}, batch.ids,
+                                      timestamps=batch.x,
+                                      deterministic=True,
+                                      return_hidden=True)
+            topk = sharded_predict_topk(mesh, x[:, -1, :], item_emb,
+                                        max(EVAL_KS))
+            return topk_metric_sums(batch.ids_fut[:, None],
+                                    topk[:, :, None], EVAL_KS,
+                                    valid=batch.valid)
+    else:
+        @jax.jit
+        def eval_step(params, batch):
+            out = model.apply({"params": params}, batch.ids,
+                              timestamps=batch.x, deterministic=True)
+            topk = predict_topk(out.logits[:, -1, :], max(EVAL_KS))
+            return topk_metric_sums(batch.ids_fut[:, None], topk[:, :, None],
+                                    EVAL_KS, valid=batch.valid)
 
     engine = Engine(mesh, loss_fn, tx, params, rng=rng,
                     shard_params=shard_params)

@@ -53,7 +53,36 @@ def _load_corpus(dataset_type: str, dataset_folder: str, split: str,
                          min_seq_len=min_seq_len)
 
 
-def make_eval_fn(model: SASRec, mesh):
+def sharded_predict_topk(mesh, last_hidden, item_emb, k):
+    """Top-k items from last-position hidden states with the catalog table
+    row-sharded: per-shard scores + exact merge (ops.sharded_topk), then
+    the pad row (id 0) and table-padding rows dropped — the sharded
+    analogue of ``predict_topk(logits)`` without a (B, V) logits gather."""
+    from genrec_tpu.ops.topk import sharded_topk
+    m = mesh.shape["model"]
+    V = item_emb.shape[0]
+    pad = -V % m
+    if pad:
+        item_emb = jnp.pad(item_emb, ((0, pad), (0, 0)))
+    _, idx = sharded_topk(mesh, last_hidden, item_emb, k + 1 + pad)
+    keep = (idx != 0) & (idx < V)
+    order = jnp.argsort(~keep, axis=1, stable=True)   # kept first, in order
+    return jnp.take_along_axis(idx, order, axis=1)[:, :k]
+
+
+def make_eval_fn(model: SASRec, mesh, sharded: bool = False):
+    if sharded:
+        @partial(jax.jit)
+        def eval_step(params, batch):
+            x, item_emb = model.apply({"params": params}, batch.ids,
+                                      deterministic=True, method="hidden")
+            topk = sharded_predict_topk(mesh, x[:, -1, :], item_emb,
+                                        max(EVAL_KS))
+            return topk_metric_sums(batch.ids_fut[:, None],
+                                    topk[:, :, None], EVAL_KS,
+                                    valid=batch.valid)
+        return eval_step
+
     @partial(jax.jit)
     def eval_step(params, batch):
         out = model.apply({"params": params}, batch.ids, deterministic=True)
@@ -161,7 +190,9 @@ def train(epochs: int = 10, batch_size: int = 128,
 
     engine = Engine(mesh, loss_fn, tx, params, rng=rng,
                     shard_params=shard_params)
-    eval_step = make_eval_fn(model, mesh)
+    eval_step = make_eval_fn(
+        model, mesh,
+        sharded=bool(shard_params) and mesh.shape["model"] > 1)
     mlogger = MetricLogger(save_dir_root, wandb_project, wandb_logging,
                            enabled=jax.process_index() == 0)
     ckpt = CheckpointManager(os.path.join(save_dir_root, "ckpt"))

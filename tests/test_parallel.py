@@ -247,3 +247,24 @@ def test_fsdp_with_lora_split():
         losses[name] = [float(np.asarray(eng.run_step(batch)["loss"]))
                         for _ in range(2)]
     np.testing.assert_allclose(losses["fsdp"], losses["rep"], rtol=2e-5)
+
+
+def test_sharded_predict_topk_matches_dense():
+    """Trainer eval path under TP: exact match with predict_topk, incl.
+    pad-row exclusion and a catalog not divisible by the model axis."""
+    from genrec_tpu.models.sasrec import predict_topk
+    from genrec_tpu.trainers.sasrec_trainer import sharded_predict_topk
+
+    mesh = make_mesh(data=4, model=2)
+    rng = np.random.default_rng(9)
+    B, D, V = 8, 16, 101          # V odd: pad path
+    hidden = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    table = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    table = table.at[0].set(0.0)  # pinned pad row
+
+    logits = hidden @ table.T
+    dense = predict_topk(logits, 10)
+    with mesh:
+        shd = jax.jit(lambda h, t: sharded_predict_topk(mesh, h, t, 10))(
+            hidden, table)
+    np.testing.assert_array_equal(np.asarray(shd), np.asarray(dense))
