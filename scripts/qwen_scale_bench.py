@@ -65,61 +65,45 @@ def main():
 
     print("initializing params...", flush=True)
     params = model.init({"params": jax.random.PRNGKey(0)}, ids)["params"]
+    # adapters stay fp32 masters; the frozen base is cast bf16 (halves its
+    # footprint — it only feeds the forward)
+    is_lora = lora_param_mask(params)
     params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        params)
+        lambda x, m: x if m else x.astype(jnp.bfloat16), params, is_lora)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
 
-    # explicit trainable/frozen split: full-tree grads never materialise
-    is_lora = lora_param_mask(params)
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    flat_mask = jax.tree_util.tree_leaves(is_lora)
-    train_tree = {}
-    for (path, leaf), m in zip(flat, flat_mask):
-        if m:
-            train_tree["/".join(str(getattr(p, "key", p)) for p in path)] = \
-                leaf.astype(jnp.float32)
-    n_train = sum(x.size for x in train_tree.values())
+    # the Engine's trainable/frozen split: grads + Adam state exist only
+    # for the adapters (the LCRec trainer's use_lora path, exercised here
+    # at production scale)
+    from genrec_tpu.core.engine import Engine
+    from genrec_tpu.parallel.mesh import make_mesh
+
+    def loss_fn(p, batch, rng):
+        del batch, rng
+        return model.apply({"params": p}, ids, attention_mask=mask,
+                           labels=labels).loss, {}
+
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    engine = Engine(mesh, loss_fn, optax.adamw(1e-4), params,
+                    trainable_mask=is_lora)
+    n_train = sum(x.size for x in
+                  jax.tree_util.tree_leaves(engine.state.params))
     print(f"params: {n_params/1e9:.2f}B total, {n_train/1e6:.1f}M trainable",
           flush=True)
 
-    def merge(frozen, trainable):
-        flat2 = jax.tree_util.tree_flatten_with_path(frozen)
-        leaves = []
-        for (path, leaf) in flat2[0]:
-            key = "/".join(str(getattr(p, "key", p)) for p in path)
-            leaves.append(trainable[key].astype(leaf.dtype)
-                          if key in trainable else leaf)
-        return jax.tree_util.tree_unflatten(flat2[1], leaves)
-
-    tx = optax.adamw(1e-4)
-    opt_state = tx.init(train_tree)
-
-    import functools
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(trainable, opt_state, frozen):
-        def loss_fn(t):
-            p = merge(frozen, t)
-            return model.apply({"params": p}, ids, attention_mask=mask,
-                               labels=labels).loss
-        loss, grads = jax.value_and_grad(loss_fn)(trainable)
-        updates, opt_state = tx.update(grads, opt_state, trainable)
-        return optax.apply_updates(trainable, updates), opt_state, loss
-
     print("compiling + warmup...", flush=True)
     t0 = time.perf_counter()
-    train_tree, opt_state, loss = step(train_tree, opt_state, params)
+    m = engine.run_step({})
     print(f"first step (incl. compile): {time.perf_counter()-t0:.1f}s "
-          f"loss={float(np.asarray(loss)):.3f}", flush=True)
+          f"loss={float(np.asarray(m['loss'])):.3f}", flush=True)
     for _ in range(2):
-        train_tree, opt_state, loss = step(train_tree, opt_state, params)
-    float(np.asarray(loss))
+        m = engine.run_step({})
+    float(np.asarray(m["loss"]))
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        train_tree, opt_state, loss = step(train_tree, opt_state, params)
-    float(np.asarray(loss))
+        m = engine.run_step({})
+    float(np.asarray(m["loss"]))
     dt = (time.perf_counter() - t0) / args.steps
     print(f"qwen2.5-1.5b-shape lora-sft: {dt*1e3:8.1f} ms/step  "
           f"{B/dt:6.1f} ex/s  {B*L/dt:9.0f} tok/s  "
