@@ -290,8 +290,12 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
             metrics = engine.run_step(batch)
             timer.tick(batch["input_ids"].shape[0])
             if engine.step % wandb_log_interval == 0:
-                mlogger.log({k: float(np.asarray(v))
-                             for k, v in metrics.items()}, engine.step)
+                host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                mlogger.log(host, engine.step)
+                if not np.isfinite(host["loss"]):
+                    raise RuntimeError(
+                        f"non-finite loss {host['loss']} at step "
+                        f"{engine.step} — halting (failure detection)")
             if guard.should_stop():
                 logger.warning("preemption signal: saving HF checkpoint at "
                                "step %d and exiting", engine.step)

@@ -214,6 +214,14 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
                 host = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 host["examples_per_sec"] = timer.examples_per_sec
                 mlogger.log(host, engine.step)
+                if not np.isfinite(host["loss"]):
+                    # failure detection: halt on divergence with the last
+                    # good state on disk instead of burning the rest of
+                    # the job (reference has none, SURVEY §5)
+                    engine.save(ckpt, config=gin.operative_config())
+                    raise RuntimeError(
+                        f"non-finite loss {host['loss']} at step "
+                        f"{engine.step}; state saved for post-mortem")
             if guard.should_stop():
                 logger.warning("preemption signal: checkpointing at step %d "
                                "and exiting (resume with "
