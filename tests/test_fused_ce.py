@@ -110,3 +110,21 @@ def test_sasrec_hstu_fused_matches_naive():
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=3e-6), gf, gn)
+
+
+def test_bf16_fused_close_to_naive():
+    """Production dtype: bf16 activations/table, fp32 stats — the fused
+    loss tracks the naive one within bf16 resolution."""
+    rng = np.random.default_rng(11)
+    N, D, V = 64, 32, 300
+    x = jnp.asarray(rng.normal(size=(N, D)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(V, D)) * 0.3, jnp.bfloat16)
+    labels = jnp.asarray(rng.integers(0, V, N), jnp.int32)
+    lf = fused_linear_cross_entropy(x, w, labels, -100, 128, True)
+    ln = _naive(x, w, labels, True)
+    np.testing.assert_allclose(float(lf), float(ln), rtol=2e-2)
+    gf = jax.grad(lambda a: fused_linear_cross_entropy(
+        a, w, labels, -100, 128, True))(x)
+    gn = jax.grad(lambda a: _naive(a, w, labels, True))(x)
+    np.testing.assert_allclose(np.asarray(gf, np.float32),
+                               np.asarray(gn, np.float32), atol=2e-2)
