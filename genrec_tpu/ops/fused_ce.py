@@ -219,7 +219,7 @@ def make_vocab_parallel_ce(mesh, *, data_axis: str = "data",
     via a custom VJP that recomputes local chunks (same recipe as
     :func:`fused_linear_cross_entropy`).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_model = mesh.shape[model_axis]
