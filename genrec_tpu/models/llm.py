@@ -18,7 +18,7 @@ as two jit-compiled entry points with static cache length.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -98,6 +98,11 @@ class LlmBlock(nn.Module):
     lora_alpha: float = 16.0
     rope_theta: float = 10000.0
     dtype: jnp.dtype = jnp.float32
+    # optional attention override (cacheless path): called as
+    # attn_impl(q, k, v, kpad_add) on post-rope, post-GQA-repeat tensors;
+    # must implement scaling + causal masking itself. Used by the
+    # sequence-parallel ring executor (parallel/ring.py). Adds no params.
+    attn_impl: Optional[Callable] = None
 
     def _dense(self, feats, name, use_bias=False):
         if self.lora_rank > 0:
@@ -150,22 +155,26 @@ class LlmBlock(nn.Module):
             v = jnp.repeat(v, rep, axis=1)
         from genrec_tpu.kernels.attention import (fused_softmax,
                                                   fused_softmax_supported)
-        if cache_kv is None and fused_mask is not None \
-                and fused_softmax_supported():
-            causal2d, kpad_add = fused_mask
-            s_raw = jnp.einsum("bhqd,bhkd->bhqk", q, k)
-            bias = jnp.broadcast_to(causal2d[None].astype(jnp.float32),
-                                    (H, L, L))
-            attn = fused_softmax(s_raw, bias, kpad_add, 0,
-                                 Dh ** -0.5).astype(self.dtype)
+        if cache_kv is None and self.attn_impl is not None:
+            out = self.attn_impl(q, k, v, fused_mask[1]).astype(self.dtype)
         else:
-            scores = jnp.einsum(
-                "bhqd,bhkd->bhqk", q, k,
-                preferred_element_type=jnp.float32) * (Dh ** -0.5)
-            scores = scores + attn_bias
-            attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+            if cache_kv is None and fused_mask is not None \
+                    and fused_softmax_supported():
+                causal2d, kpad_add = fused_mask
+                s_raw = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+                bias = jnp.broadcast_to(causal2d[None].astype(jnp.float32),
+                                        (H, L, L))
+                attn = fused_softmax(s_raw, bias, kpad_add, 0,
+                                     Dh ** -0.5).astype(self.dtype)
+            else:
+                scores = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, k,
+                    preferred_element_type=jnp.float32) * (Dh ** -0.5)
+                scores = scores + attn_bias
+                attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", attn, v,
+                preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
         x = x + self._dense(D, "o")(out)
 

@@ -1,0 +1,110 @@
+"""Ring attention / sequence parallelism == dense attention, loss+grads.
+
+Pins the TPU-native SP tier (reference has none, SURVEY §2.5): the
+ppermute ring with online softmax reproduces dense causal attention
+exactly, and the SequenceParallelLM executor matches the unsharded
+CausalLM loss and grads on a (data=2, model=4) virtual mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genrec_tpu.models.llm import CausalLM
+from genrec_tpu.parallel.mesh import make_mesh
+from genrec_tpu.parallel.ring import (NEG_INF, SequenceParallelLM,
+                                      ring_attention)
+
+
+def _dense_attention(q, k, v, kpad, causal=True):
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    s = s + kpad[:, None, None, :]
+    if causal:
+        L = q.shape[2]
+        s = s + jnp.triu(jnp.full((L, L), NEG_INF, jnp.float32), k=1)
+    a = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", a,
+                      v.astype(jnp.float32)).astype(q.dtype)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_ring_attention_matches_dense(causal):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=2, model=4, devices=jax.devices()[:8])
+    rng = np.random.default_rng(0)
+    B, H, L, Dh = 4, 2, 16, 8
+    q = jnp.asarray(rng.normal(size=(B, H, L, Dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, L, Dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, L, Dh)), jnp.float32)
+    kpad = np.zeros((B, L), np.float32)
+    kpad[0, :3] = NEG_INF  # left padding
+    kpad = jnp.asarray(kpad)
+
+    ref = _dense_attention(q, k, v, kpad, causal)
+    with mesh:
+        out = jax.jit(lambda *a: ring_attention(
+            *a, mesh=mesh, causal=causal))(q, k, v, kpad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ring_attention_grads_match_dense():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=2, model=4, devices=jax.devices()[:8])
+    rng = np.random.default_rng(1)
+    B, H, L, Dh = 2, 2, 8, 4
+    q = jnp.asarray(rng.normal(size=(B, H, L, Dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, L, Dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, L, Dh)), jnp.float32)
+    kpad = jnp.zeros((B, L), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(B, H, L, Dh)), jnp.float32)
+
+    ref_g = jax.grad(lambda q, k, v: jnp.sum(
+        _dense_attention(q, k, v, kpad) * w), argnums=(0, 1, 2))(q, k, v)
+    with mesh:
+        g = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+            ring_attention(q, k, v, kpad, mesh=mesh) * w),
+            argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g, ref_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_sequence_parallel_lm_matches_plain():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = CausalLM(vocab_size=256, d_model=32, n_layers=2, n_heads=4,
+                     n_kv_heads=2, ff_dim=64, max_len=32)
+    rng = np.random.default_rng(2)
+    B, L = 4, 16
+    ids = jnp.asarray(rng.integers(1, 256, (B, L)), jnp.int32)
+    mask = np.ones((B, L), np.int32)
+    mask[0, :4] = 0
+    mask = jnp.asarray(mask)
+    labels = np.asarray(ids).copy()
+    labels[np.asarray(mask) == 0] = -100
+    labels = jnp.asarray(labels)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids)["params"]
+
+    def plain(p):
+        return model.apply({"params": p}, ids, attention_mask=mask,
+                           labels=labels).loss
+
+    ref_loss, ref_grads = jax.value_and_grad(plain)(params)
+
+    mesh = make_mesh(data=2, model=4, devices=jax.devices()[:8])
+    splm = SequenceParallelLM(model, mesh)
+    s_ids, s_mask, s_labels = splm.shard_inputs(ids, mask, labels)
+    with mesh:
+        loss, grads = jax.jit(jax.value_and_grad(
+            lambda p: splm.loss(p, s_ids, s_mask, s_labels)))(params)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        grads, ref_grads)
