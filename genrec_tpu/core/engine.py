@@ -139,26 +139,38 @@ class Engine:
     def __init__(self, mesh, loss_fn: LossFn,
                  tx: optax.GradientTransformation, params,
                  rng: Optional[jax.Array] = None,
-                 shard_params=False, trainable_mask=None):
+                 shard_params=False, trainable_mask=None,
+                 shard_batch_fn: Optional[Callable] = None):
         """``shard_params``: False = replicate everything; True/"tables" =
         row-shard vocabulary tables over the model axis; "fsdp" = ZeRO-3
-        placement of every large param over the data axis (full-FT LLMs).
+        placement of every large param over the data axis (full-FT LLMs);
+        or an explicit pytree of ``NamedSharding``s matching ``params``
+        (e.g. ``pipeline_param_shardings`` for a GPipe layer layout).
 
         ``trainable_mask``: bool pytree matching ``params`` — when given,
         only the masked leaves get grads/optimizer state (the rest is a
         frozen side input); use :attr:`full_params` wherever the merged
         tree is needed (eval, generation, persistence).
+
+        ``shard_batch_fn``: overrides the default leading-axis/data-axis
+        batch placement (e.g. (batch, sequence) sharding for the
+        ring-attention sequence-parallel path).
         """
         self.mesh = mesh
         self.tx = tx
         self.frozen = None
-        if shard_params:
+        self._shard_batch_fn = shard_batch_fn
+        if shard_params is not False and shard_params is not None:
             from genrec_tpu.parallel.sharding import (apply_shardings,
                                                       fsdp_shardings,
                                                       param_shardings)
-            rule = (fsdp_shardings if shard_params == "fsdp"
-                    else param_shardings)
-            params = apply_shardings(params, rule(mesh, params))
+            if shard_params == "fsdp":
+                placements = fsdp_shardings(mesh, params)
+            elif shard_params is True or shard_params == "tables":
+                placements = param_shardings(mesh, params)
+            else:  # explicit pytree of shardings
+                placements = shard_params
+            params = apply_shardings(params, placements)
             if trainable_mask is not None:
                 # sharded frozen base + (small, replicated-by-the-min-size-
                 # rule) trainable subset: multi-chip LoRA on big backbones
@@ -201,7 +213,10 @@ class Engine:
 
     def run_step(self, batch) -> Dict[str, jax.Array]:
         self.rng, step_rng = jax.random.split(self.rng)
-        device_batch = shard_batch(batch, self.mesh)
+        if self._shard_batch_fn is not None:
+            device_batch = self._shard_batch_fn(batch)
+        else:
+            device_batch = shard_batch(batch, self.mesh)
         if self.frozen is not None:
             self.state, metrics = self.train_step(self.state, self.frozen,
                                                   device_batch, step_rng)

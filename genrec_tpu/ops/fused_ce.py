@@ -259,7 +259,7 @@ def make_vocab_parallel_ce(mesh, *, data_axis: str = "data",
             functools.partial(_body_fwd, v_true=V),
             mesh=mesh, in_specs=(x_spec, w_spec, l_spec),
             out_specs=(P(), P(data_axis), P(data_axis), P()),
-            check_rep=False)
+            check_vma=False)
         loss, lse, valid, n_valid = fwd(x, wp, labels)
         return loss, (x, w, labels, lse, valid, n_valid)
 
@@ -281,7 +281,7 @@ def make_vocab_parallel_ce(mesh, *, data_axis: str = "data",
             body, mesh=mesh,
             in_specs=(x_spec, w_spec, l_spec, P(data_axis), P(data_axis),
                       P(), P()),
-            out_specs=(x_spec, w_spec), check_rep=False)
+            out_specs=(x_spec, w_spec), check_vma=False)
         dx, dw = bwd(x, wp, labels, lse, valid, n_valid,
                      jnp.asarray(g, jnp.float32))
         return dx[:x.shape[0]], dw[:w.shape[0]].astype(w.dtype), \

@@ -199,6 +199,11 @@ class PipelinedLM:
 
     def __init__(self, model, mesh: Mesh, n_micro: int):
         from genrec_tpu.models.llm import LlmBlock
+        n_stages = mesh.shape[PIPE_AXIS]
+        if model.n_layers % n_stages:
+            raise ValueError(
+                f"n_layers={model.n_layers} not divisible by the pipe axis "
+                f"({n_stages} stages)")
         self.model = model
         self.mesh = mesh
         self.n_micro = n_micro

@@ -86,6 +86,8 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
           pretrained_backbone_path: str = "", backbone: str = "",
           remat: bool = False, fsdp: bool = False,
           vocab_parallel_ce: bool = False,
+          sequence_parallelism: bool = False,
+          pipeline_parallelism: int = 1, pp_microbatches: int = 4,
           dataset_type: str = "synthetic",
           dataset_folder: str = "dataset/amazon", split: str = "beauty",
           pretrained_rqvae_path: str = "", sem_ids_table=None,
@@ -101,7 +103,24 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
     logger = setup_logger("lcrec", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)
-    mesh = make_mesh(model=model_parallelism)
+    if pipeline_parallelism > 1:
+        if model_parallelism > 1 or fsdp or vocab_parallel_ce \
+                or sequence_parallelism:
+            raise ValueError("pipeline_parallelism composes with the data "
+                             "axis only (set model_parallelism=1, "
+                             "fsdp/vocab_parallel_ce/sequence_parallelism "
+                             "off)")
+        from genrec_tpu.parallel import make_pipeline_mesh
+        mesh = make_pipeline_mesh(pipe=pipeline_parallelism)
+    else:
+        mesh = make_mesh(model=model_parallelism)
+    if sequence_parallelism:
+        if model_parallelism <= 1:
+            raise ValueError("sequence_parallelism shards the sequence "
+                             "over the model axis: set model_parallelism>1")
+        if fsdp or vocab_parallel_ce:
+            raise ValueError("sequence_parallelism is incompatible with "
+                             "fsdp / vocab_parallel_ce")
 
     if dataset_type == "synthetic":
         from genrec_tpu.data.synthetic import synthetic_corpus
@@ -208,6 +227,9 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
         lora_label_fn(params)   # raises early if no adapters exist
         trainable_mask = lora_param_mask(params)
 
+    shard_batch_fn = None
+    engine_shard_params = "fsdp" if fsdp else False
+    pp_export = None
     if vocab_parallel_ce:
         # Megatron-style loss: the (V, D) token table stays row-sharded
         # over the model axis; logsumexp stats combine via psum/pmax —
@@ -224,6 +246,44 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
             xs = h[:, :-1, :].reshape(-1, h.shape[-1])
             ls = batch["labels"][:, 1:].reshape(-1)
             return vp_ce(xs, params["wte"], ls), {}
+    elif pipeline_parallelism > 1:
+        # GPipe: layer stack sharded over the pipe axis, microbatched
+        # shard_map schedule (parallel/pipeline.py) — layer params + their
+        # grads/Adam state live on 1/pipe of the chips
+        from genrec_tpu.parallel import (PipelinedLM, from_pipeline_params,
+                                         pipeline_param_shardings,
+                                         to_pipeline_params)
+        plm = PipelinedLM(model.model, mesh, n_micro=pp_microbatches)
+        params = to_pipeline_params(params, model.model.n_layers)
+        engine_shard_params = pipeline_param_shardings(mesh, params)
+        pp_export = from_pipeline_params
+        if trainable_mask is not None:
+            # re-derive the LoRA mask on the stacked layout (leaf names
+            # are preserved by stacking)
+            from genrec_tpu.models.llm import lora_param_mask
+            trainable_mask = lora_param_mask(params)
+
+        def loss_fn(params, batch, rng):
+            return plm.loss(params, batch["input_ids"],
+                            batch["attention_mask"], batch["labels"]), {}
+    elif sequence_parallelism:
+        # ring attention: activations shard (batch, sequence) over
+        # (data, model); attention rotates k/v blocks over ICI
+        # (parallel/ring.py)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from genrec_tpu.parallel.ring import SequenceParallelLM
+        splm = SequenceParallelLM(model.model, mesh)
+        sp2 = NamedSharding(mesh, P("data", "model"))
+        sp1 = NamedSharding(mesh, P("data"))
+
+        def shard_batch_fn(batch):
+            return {k: jax.device_put(np.asarray(v),
+                                      sp2 if np.ndim(v) == 2 else sp1)
+                    for k, v in batch.items()}
+
+        def loss_fn(params, batch, rng):
+            return splm.loss(params, batch["input_ids"],
+                             batch["attention_mask"], batch["labels"]), {}
     else:
         def loss_fn(params, batch, rng):
             out = model.apply(params, batch["input_ids"],
@@ -234,8 +294,15 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
     # fsdp: ZeRO-3 placement of the backbone over the data axis — the
     # memory path for full fine-tuning (param/grad/Adam scale 1/N chips)
     engine = Engine(mesh, loss_fn, tx, params, rng=rng,
-                    shard_params="fsdp" if fsdp else False,
-                    trainable_mask=trainable_mask)
+                    shard_params=engine_shard_params,
+                    trainable_mask=trainable_mask,
+                    shard_batch_fn=shard_batch_fn)
+
+    def export_params():
+        """Plain CausalLM layout for generation/persistence (PP stores the
+        stacked-layer layout)."""
+        p = engine.full_params
+        return pp_export(p) if pp_export is not None else p
     mlogger = MetricLogger(save_dir_root, wandb_project, wandb_logging,
                            enabled=pidx == 0)
     generate = model.make_generate_topk(
@@ -256,7 +323,7 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
         for batch in iter_batches(eval_samples, ebs, batch_fn_eval,
                                   False, 0):
             db = shard_batch(batch, mesh)
-            out = generate(engine.full_params, db["input_ids"],
+            out = generate(export_params(), db["input_ids"],
                            db["attention_mask"])
             sums = topk_metric_sums(db["target_sem_ids"], out.sem_ids,
                                     EVAL_KS, valid=db["valid"])
@@ -301,7 +368,7 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
                                "step %d and exiting", engine.step)
                 model.save_pretrained(
                     os.path.join(save_dir_root, "hf_ckpt"),
-                    engine.full_params)
+                    export_params())
                 mlogger.close()
                 return {"preempted_at_step": engine.step}
         logger.info("epoch %d: loss=%.4f (%.0f ex/s)", epoch,
@@ -314,12 +381,12 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
                         {k: round(v, 4) for k, v in m.items()})
         if (epoch + 1) % save_every_epoch == 0:
             model.save_pretrained(os.path.join(save_dir_root, "hf_ckpt"),
-                                  engine.full_params)
+                                  export_params())
 
     final = evaluate()
     logger.info("final: %s", {k: round(v, 4) for k, v in final.items()})
     model.save_pretrained(os.path.join(save_dir_root, "hf_ckpt"),
-                          engine.full_params)
+                          export_params())
     mlogger.close()
     return final
 

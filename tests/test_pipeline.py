@@ -121,3 +121,37 @@ def test_pipelined_train_step_runs_sharded():
     # layer params stay pipe-sharded through the step
     leaf = jax.tree_util.tree_leaves(p1["layers"])[0]
     assert leaf.sharding.spec == jax.sharding.PartitionSpec("pipe")
+
+
+def test_lcrec_trainer_pipeline_parallel_e2e(tmp_path):
+    """The user surface reaches PP: train.pipeline_parallelism=4 runs the
+    full SFT loop (GPipe engine) + constrained eval on 8 virtual devices."""
+    from genrec_tpu.configlib import gin
+    from genrec_tpu.trainers.lcrec_trainer import train
+    rng = np.random.default_rng(0)
+    sem_ids = rng.integers(0, 64, (2000, 3))
+    gin.parse_config("""
+        train.epochs = 1
+        train.batch_size = 8
+        train.max_len = 96
+        train.d_model = 64
+        train.n_layers = 4
+        train.n_heads = 4
+        train.n_kv_heads = 2
+        train.ff_dim = 128
+        train.base_vocab = 2000
+        train.num_codebooks = 3
+        train.codebook_size = 64
+        train.dataset_type = "synthetic"
+        train.max_seq_len = 6
+        train.num_beams = 4
+        train.max_train_samples = 32
+        train.max_eval_samples = 8
+        train.pipeline_parallelism = 4
+        train.pp_microbatches = 2
+        train.wandb_logging = False
+    """)
+    gin.bind_parameter("train.save_dir_root", str(tmp_path))
+    gin.bind_parameter("train.sem_ids_table", sem_ids)
+    m = train()
+    assert "Recall@10" in m

@@ -108,3 +108,37 @@ def test_sequence_parallel_lm_matches_plain():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
         grads, ref_grads)
+
+
+def test_lcrec_trainer_sequence_parallel_e2e(tmp_path):
+    """The user surface reaches SP: train.sequence_parallelism=True runs
+    the SFT loop with ring attention on a (2, 4) virtual mesh."""
+    from genrec_tpu.configlib import gin
+    from genrec_tpu.trainers.lcrec_trainer import train
+    rng = np.random.default_rng(0)
+    sem_ids = rng.integers(0, 64, (2000, 3))
+    gin.parse_config("""
+        train.epochs = 1
+        train.batch_size = 8
+        train.max_len = 96
+        train.d_model = 64
+        train.n_layers = 2
+        train.n_heads = 4
+        train.n_kv_heads = 2
+        train.ff_dim = 128
+        train.base_vocab = 2000
+        train.num_codebooks = 3
+        train.codebook_size = 64
+        train.dataset_type = "synthetic"
+        train.max_seq_len = 6
+        train.num_beams = 4
+        train.max_train_samples = 32
+        train.max_eval_samples = 8
+        train.model_parallelism = 4
+        train.sequence_parallelism = True
+        train.wandb_logging = False
+    """)
+    gin.bind_parameter("train.save_dir_root", str(tmp_path))
+    gin.bind_parameter("train.sem_ids_table", sem_ids)
+    m = train()
+    assert "Recall@10" in m
