@@ -155,3 +155,40 @@ def test_lcrec_trainer_pipeline_parallel_e2e(tmp_path):
     gin.bind_parameter("train.sem_ids_table", sem_ids)
     m = train()
     assert "Recall@10" in m
+
+
+def test_lcrec_trainer_pipeline_parallel_lora(tmp_path):
+    """PP composes with the LoRA trainable/frozen split: adapters train on
+    the stacked layout, base weights stay frozen."""
+    from genrec_tpu.configlib import gin
+    from genrec_tpu.trainers.lcrec_trainer import train
+    rng = np.random.default_rng(0)
+    sem_ids = rng.integers(0, 64, (2000, 3))
+    gin.parse_config("""
+        train.epochs = 1
+        train.batch_size = 8
+        train.max_len = 96
+        train.d_model = 64
+        train.n_layers = 4
+        train.n_heads = 4
+        train.n_kv_heads = 2
+        train.ff_dim = 128
+        train.base_vocab = 2000
+        train.num_codebooks = 3
+        train.codebook_size = 64
+        train.dataset_type = "synthetic"
+        train.max_seq_len = 6
+        train.num_beams = 4
+        train.max_train_samples = 16
+        train.max_eval_samples = 8
+        train.pipeline_parallelism = 4
+        train.pp_microbatches = 2
+        train.use_lora = True
+        train.lora_rank = 4
+        train.do_eval = False
+        train.wandb_logging = False
+    """)
+    gin.bind_parameter("train.save_dir_root", str(tmp_path))
+    gin.bind_parameter("train.sem_ids_table", sem_ids)
+    m = train()
+    assert "Recall@10" in m
