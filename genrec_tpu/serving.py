@@ -28,6 +28,20 @@ import numpy as np
 from genrec_tpu.core import CheckpointManager, load_rqvae_artifact
 
 
+def _maybe_quantize(params, quantize_int8: bool):
+    """(possibly int8-quantized params, in-jit dequant fn).
+
+    With ``quantize_int8`` the large tables/kernels live in device HBM as
+    int8 + per-channel scales (≈2× smaller than bf16, 4× than fp32); the
+    dequant runs inside the compiled serving fn so XLA fuses the upcast
+    into the consuming matmul (``ops/quant.py``).
+    """
+    if not quantize_int8:
+        return params, lambda p: p
+    from genrec_tpu.ops.quant import dequantize_tree, quantize_tree
+    return quantize_tree(params), dequantize_tree
+
+
 def _pad_histories(histories: Sequence[Sequence[int]], max_len: int,
                    one_based: bool) -> np.ndarray:
     out = np.zeros((len(histories), max_len), np.int32)
@@ -41,15 +55,17 @@ def _pad_histories(histories: Sequence[Sequence[int]], max_len: int,
 class SASRecRecommender:
     """Batch next-item recommendation from a trained SASRec checkpoint."""
 
-    def __init__(self, model, params, max_seq_len: Optional[int] = None):
+    def __init__(self, model, params, max_seq_len: Optional[int] = None,
+                 quantize_int8: bool = False):
         from genrec_tpu.models.sasrec import predict_topk
         self.model = model
-        self.params = params
+        self.params, deq = _maybe_quantize(params, quantize_int8)
         self.max_seq_len = max_seq_len or model.max_seq_len
 
         @partial(jax.jit, static_argnums=(2,))
         def _recommend(params, ids, k):
-            out = model.apply({"params": params}, ids, deterministic=True)
+            out = model.apply({"params": deq(params)}, ids,
+                              deterministic=True)
             return predict_topk(out.logits[:, -1, :], k)
         self._fn = _recommend
 
@@ -74,15 +90,16 @@ class SASRecRecommender:
 class HSTURecommender(SASRecRecommender):
     """HSTU variant: carries timestamps alongside the id history."""
 
-    def __init__(self, model, params, max_seq_len: Optional[int] = None):
+    def __init__(self, model, params, max_seq_len: Optional[int] = None,
+                 quantize_int8: bool = False):
         from genrec_tpu.models.sasrec import predict_topk
         self.model = model
-        self.params = params
+        self.params, deq = _maybe_quantize(params, quantize_int8)
         self.max_seq_len = max_seq_len or model.max_seq_len
 
         @partial(jax.jit, static_argnums=(3,))
         def _recommend(params, ids, ts, k):
-            out = model.apply({"params": params}, ids, timestamps=ts,
+            out = model.apply({"params": deq(params)}, ids, timestamps=ts,
                               deterministic=True)
             return predict_topk(out.logits[:, -1, :], k)
         self._fn = _recommend
@@ -103,14 +120,17 @@ class TigerRecommender:
     """Generative retrieval: histories → semantic-ID beams → item ids."""
 
     def __init__(self, model, params, sem_ids: np.ndarray,
-                 num_beams: int = 10, max_seq_len: int = 20):
+                 num_beams: int = 10, max_seq_len: int = 20,
+                 quantize_int8: bool = False):
         from genrec_tpu.models.tiger import build_trie, make_generate_fn
         self.model = model
-        self.params = params
+        self.params, deq = _maybe_quantize(params, quantize_int8)
         self.sem_ids = np.asarray(sem_ids, np.int32)
         self.max_seq_len = max_seq_len
         trie = build_trie(self.sem_ids, model.num_item_embeddings)
-        self._generate = make_generate_fn(model, trie, num_beams=num_beams)
+        inner = make_generate_fn(model, trie, num_beams=num_beams)
+        # jit-of-jit inlines: the dequant fuses into the compiled search
+        self._generate = jax.jit(lambda p, *a: inner(deq(p), *a))
         # code tuple -> item id (first occurrence wins, as in the catalog)
         self._code_to_item = {}
         for item, codes in enumerate(self.sem_ids):
@@ -179,19 +199,21 @@ class LCRecRecommender:
 
     def __init__(self, lcrec, params, sem_ids: np.ndarray,
                  num_beams: int = 10, prompt_len: int = 256,
-                 max_seq_len: int = 20, use_item_trie: bool = True):
+                 max_seq_len: int = 20, use_item_trie: bool = True,
+                 quantize_int8: bool = False):
         from genrec_tpu.data.lcrec import SFT_PROMPT, TEMPLATES, render_history
         self.lcrec = lcrec
-        self.params = params
+        self.params, deq = _maybe_quantize(params, quantize_int8)
         self.sem_ids = np.asarray(sem_ids, np.int32)[:, :lcrec.num_codebooks]
         self.prompt_len = prompt_len
         self.max_seq_len = max_seq_len
         self._template = SFT_PROMPT.format(
             instruction=TEMPLATES["seqrec"][0])
         self._render_history = render_history
-        self._generate = lcrec.make_generate_topk(
+        inner = lcrec.make_generate_topk(
             num_beams=num_beams,
             valid_item_ids=self.sem_ids if use_item_trie else None)
+        self._generate = jax.jit(lambda p, *a: inner(deq(p), *a))
         self._code_to_item = {}
         for item, codes in enumerate(self.sem_ids):
             self._code_to_item.setdefault(tuple(int(c) for c in codes), item)
