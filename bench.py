@@ -258,6 +258,114 @@ def bench_rqvae(batch_size: int, steps: int, warmup: int, small: bool):
     return B * steps / dt, final
 
 
+def bench_cobra(batch_size: int, steps: int, warmup: int, small: bool,
+                dtype_name: str = "bfloat16"):
+    """COBRA train throughput at the amazon config scale
+    (config/cobra/amazon.gin: d=256, 1-layer light text encoder, 8-layer
+    decoder, 20-item histories + teacher-forced target, 3 codes/item,
+    128-token item texts)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from genrec_tpu.core.train_state import TrainState, apply_updates
+    from genrec_tpu.models.cobra import Cobra
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    if small:
+        model = Cobra(encoder_n_layers=1, encoder_hidden_dim=64,
+                      encoder_num_heads=4, encoder_vocab_size=1000,
+                      id_vocab_size=64, n_codebooks=3, d_model=64,
+                      decoder_n_layers=2, decoder_num_heads=4,
+                      decoder_dropout=0.1, dtype=dtype)
+        T, Lt = 6, 8
+    else:
+        model = Cobra(encoder_n_layers=1, encoder_vocab_size=32128,
+                      id_vocab_size=256, n_codebooks=3, d_model=256,
+                      decoder_n_layers=8, decoder_num_heads=8,
+                      decoder_dropout=0.1, dtype=dtype)
+        T, Lt = 21, 128  # 20-item history + appended target (train collate)
+    C, K = model.n_codebooks, model.id_vocab_size
+    rng = np.random.default_rng(0)
+    B = batch_size
+    ids = jnp.asarray(rng.integers(0, K, (B, T * C)), jnp.int32)
+    toks = jnp.asarray(
+        rng.integers(1, model.encoder_vocab_size, (B, T, Lt)), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids,
+                        toks)["params"]
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
+    state = TrainState.create(params, tx)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, ids, toks, rng):
+        def loss_fn(p):
+            out = model.apply({"params": p}, ids, toks,
+                              deterministic=False, rngs={"dropout": rng})
+            return out.loss
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return apply_updates(state, grads, tx), loss
+
+    key = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        key, k = jax.random.split(key)
+        state, loss = step(state, ids, toks, k)
+    float(np.asarray(loss))   # real fetch (see bench_tiger comment)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, k = jax.random.split(key)
+        state, loss = step(state, ids, toks, k)
+    final = float(np.asarray(loss))
+    dt = time.perf_counter() - t0
+    return B * steps / dt, final
+
+
+def bench_lcrec_decode(batch_size: int, steps: int, warmup: int,
+                       small: bool, num_beams: int = 10):
+    """LCRec serving decode throughput: prompt prefill + per-level
+    KV-cache beam steps with the item-trie constraint — the compiled
+    counterpart of the reference's HF generate-with-prefix-fn eval
+    (/root/reference/genrec/trainers/lcrec_trainer.py:141-161)."""
+    import jax
+    import jax.numpy as jnp
+    from genrec_tpu.models.lcrec import LCRec
+
+    if small:
+        lcrec = LCRec(d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                      ff_dim=128, base_vocab=2000, max_len=160,
+                      num_codebooks=3, codebook_size=64)
+        prompt_len, n_items = 128, 2000
+    else:
+        # synthetic-config scale backbone at a serving prompt length
+        lcrec = LCRec(d_model=512, n_layers=8, n_heads=8, n_kv_heads=4,
+                      ff_dim=1408, base_vocab=30000, max_len=288,
+                      num_codebooks=3, codebook_size=256)
+        prompt_len, n_items = 256, 20000
+    params = lcrec.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    sem_ids = np.unique(
+        rng.integers(0, lcrec.codebook_size,
+                     (n_items, lcrec.num_codebooks)), axis=0)
+    gen = lcrec.make_generate_topk(num_beams=num_beams,
+                                   valid_item_ids=sem_ids)
+    B, L = batch_size, prompt_len
+    ids = np.zeros((B, L), np.int32)
+    mask = np.zeros((B, L), np.int32)
+    plen = rng.integers(L // 2, L + 1, B)
+    for r in range(B):
+        ids[r, L - plen[r]:] = rng.integers(
+            4, lcrec._config["base_vocab"], plen[r])
+        mask[r, L - plen[r]:] = 1
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    for _ in range(warmup):
+        out = gen(params, ids, mask)
+    np.asarray(out.sem_ids)   # real fetch (see bench_tiger comment)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = gen(params, ids, mask)
+    np.asarray(out.sem_ids)
+    dt = time.perf_counter() - t0
+    return B * steps / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
@@ -271,8 +379,10 @@ def main():
     ap.add_argument("--generate", action="store_true",
                     help="measure trie-constrained generation throughput")
     ap.add_argument("--model", default="tiger",
-                    choices=["tiger", "sasrec", "hstu", "rqvae"],
-                    help="which model's train step to benchmark")
+                    choices=["tiger", "sasrec", "hstu", "rqvae", "cobra",
+                             "lcrec_decode"],
+                    help="which model's train step to benchmark "
+                         "(lcrec_decode: serving beam-decode throughput)")
     args = ap.parse_args()
 
     import jax
@@ -307,6 +417,34 @@ def main():
         }))
         print(f"# 1chip={eps1:.0f} {n_chips}chips={epsN:.0f} ex/s",
               file=sys.stderr)
+        return
+
+    if args.model == "lcrec_decode":
+        b = args.batch or (8 if args.smoke else 32)
+        ups = bench_lcrec_decode(b, steps if args.smoke else min(steps, 20),
+                                 warmup, small=args.smoke)
+        print(json.dumps({
+            "metric": "lcrec_constrained_decode_users_per_sec_per_chip",
+            "value": round(ups / max(n_chips, 1), 2),
+            "unit": "users/sec/chip (beam 10, item-trie, KV cache)",
+            "vs_baseline": 1.0,
+        }))
+        return
+
+    if args.model == "cobra":
+        b = args.batch or (16 if args.smoke else 64)
+        eps, loss = bench_cobra(b, steps, warmup, small=args.smoke,
+                                dtype_name=args.dtype)
+        print(json.dumps({
+            "metric": "cobra_train_examples_per_sec_per_chip",
+            "value": round(eps / max(n_chips, 1), 2),
+            "unit": "examples/sec/chip",
+            "vs_baseline": round(
+                eps / max(n_chips, 1) / NOMINAL_BASELINE_EXAMPLES_PER_SEC, 4),
+        }))
+        print(f"# devices={n_chips} platform={jax.devices()[0].platform} "
+              f"batch={b} steps={steps} dtype={args.dtype} "
+              f"final_loss={loss:.3f}", file=sys.stderr)
         return
 
     if args.model == "rqvae":
