@@ -213,6 +213,7 @@ class PipelinedLM:
                                lora_alpha=model.lora_alpha,
                                rope_theta=model.rope_theta,
                                dtype=model.dtype)
+        self._remat = model.remat
 
     def init_params(self, rng: jax.Array, example_ids: jnp.ndarray) -> dict:
         params = self.model.init({"params": rng}, example_ids)["params"]
@@ -235,6 +236,12 @@ class PipelinedLM:
 
         def block_fn(layer_p, h, positions, bias):
             return block.apply({"params": layer_p}, h, positions, bias)[0]
+
+        if self._remat:
+            # recompute each layer in the backward wave instead of stashing
+            # its internals per tick — the GPipe schedule already stashes
+            # one activation per in-flight microbatch per stage
+            block_fn = jax.checkpoint(block_fn)
 
         x = pipeline_blocks(block_fn, pipe_params["layers"], x,
                             (positions, bias), (), self.mesh, self.n_micro)

@@ -192,3 +192,24 @@ def test_lcrec_trainer_pipeline_parallel_lora(tmp_path):
     gin.bind_parameter("train.sem_ids_table", sem_ids)
     m = train()
     assert "Recall@10" in m
+
+
+def test_pipelined_remat_matches():
+    """model.remat routes through jax.checkpoint in the GPipe body without
+    changing the loss."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ids, mask, labels = _batch(B=8)
+    mesh = make_pipeline_mesh(data=2, pipe=4, devices=jax.devices()[:8])
+    losses = []
+    for remat in (False, True):
+        model = _model(remat=remat)
+        params = model.init({"params": jax.random.PRNGKey(3)},
+                            ids)["params"]
+        plm = PipelinedLM(model, mesh, n_micro=2)
+        pp = to_pipeline_params(params, model.n_layers)
+        with mesh:
+            loss, _ = jax.jit(jax.value_and_grad(
+                lambda p: plm.loss(p, ids, mask, labels)))(pp)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
