@@ -28,6 +28,17 @@ import numpy as np
 from genrec_tpu.core import CheckpointManager, load_rqvae_artifact
 
 
+def _bucket(n: int) -> int:
+    """Round a request's row count up to the next power of two so the
+    compiled executable is reused across request sizes (a distinct batch
+    shape would otherwise recompile — minutes on the remote TPU compile
+    service). Outputs are sliced back to the true count."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 def _maybe_quantize(params, quantize_int8: bool):
     """(possibly int8-quantized params, in-jit dequant fn).
 
@@ -82,9 +93,11 @@ class SASRecRecommender:
     def recommend(self, histories: Sequence[Sequence[int]],
                   k: int = 10) -> np.ndarray:
         """0-based item-id histories → (B, k) 0-based recommendations."""
+        B = len(histories)
         ids = _pad_histories(histories, self.max_seq_len, one_based=True)
+        ids = np.pad(ids, ((0, _bucket(B) - B), (0, 0)))
         top = self._fn(self.params, jnp.asarray(ids), k)
-        return np.asarray(top) - 1
+        return np.asarray(top)[:B] - 1
 
 
 class HSTURecommender(SASRecRecommender):
@@ -105,15 +118,18 @@ class HSTURecommender(SASRecRecommender):
         self._fn = _recommend
 
     def recommend(self, histories, k: int = 10, timestamps=None) -> np.ndarray:
+        B = len(histories)
+        cap = _bucket(B)
         ids = _pad_histories(histories, self.max_seq_len, one_based=True)
+        ids = np.pad(ids, ((0, cap - B), (0, 0)))
         L = self.max_seq_len
-        ts = np.zeros((len(histories), L), np.int32)
+        ts = np.zeros((cap, L), np.int32)
         if timestamps is not None:
             for r, t in enumerate(timestamps):
                 t = list(t)[-L:]
                 ts[r, L - len(t):] = t
         top = self._fn(self.params, jnp.asarray(ids), jnp.asarray(ts), k)
-        return np.asarray(top) - 1
+        return np.asarray(top)[:B] - 1
 
 
 class TigerRecommender:
@@ -161,8 +177,11 @@ class TigerRecommender:
         """0-based item histories → per-row ranked item ids (≤ k each)."""
         from genrec_tpu.data.batching import tiger_batch
         from genrec_tpu.data.sequences import Sample
+        B = len(histories)
         samples = [Sample(user_id=int(u), history=list(h), target=0)
                    for u, h in zip(user_ids, histories)]
+        samples += [Sample(user_id=0, history=[0], target=0)
+                    ] * (_bucket(B) - B)
         batch = tiger_batch(samples, self.sem_ids, self.max_seq_len,
                             pad_id=self.model.num_item_embeddings
                             * self.model.sem_id_dim)
@@ -172,8 +191,8 @@ class TigerRecommender:
                              jnp.asarray(batch.seq_mask),
                              jax.random.PRNGKey(0))
         results = []
-        for beams, logps in zip(np.asarray(out.sem_ids),
-                                np.asarray(out.log_probas)):
+        for beams, logps in zip(np.asarray(out.sem_ids)[:B],
+                                np.asarray(out.log_probas)[:B]):
             row = []
             for codes, lp in zip(beams, logps):
                 if lp <= -1e30:
@@ -237,17 +256,19 @@ class LCRecRecommender:
                   k: int = 10) -> List[List[int]]:
         """0-based item histories → per-row ranked item ids (≤ k each)."""
         B, L = len(histories), self.prompt_len
-        ids = np.zeros((B, L), np.int32)
-        mask = np.zeros((B, L), np.int32)
-        for r, h in enumerate(histories):
+        cap = _bucket(B)
+        ids = np.zeros((cap, L), np.int32)
+        mask = np.zeros((cap, L), np.int32)
+        mask[B:, -1] = 1     # padding rows: one valid token keeps the
+        for r, h in enumerate(histories):        # prefill bias finite
             p = self.lcrec.tokenizer.encode(self._prompt(h))[-L:]
             ids[r, L - len(p):] = p
             mask[r, L - len(p):] = 1
         out = self._generate(self.params, jnp.asarray(ids),
                              jnp.asarray(mask))
         results = []
-        for beams, logps in zip(np.asarray(out.sem_ids),
-                                np.asarray(out.log_probas)):
+        for beams, logps in zip(np.asarray(out.sem_ids)[:B],
+                                np.asarray(out.log_probas)[:B]):
             row = []
             for codes, lp in zip(beams, logps):
                 if lp <= -1e30:

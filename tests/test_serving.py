@@ -76,3 +76,19 @@ def test_lcrec_recommender_returns_catalog_items():
         assert len(row) <= 3
         for item in row:
             assert 0 <= item < 20       # trie keeps us in the catalog
+
+
+def test_recommender_request_bucketing():
+    """Odd request sizes round up to a power-of-two bucket: one compile
+    serves every size in the bucket, rows are sliced back exactly."""
+    model = SASRec(num_items=30, max_seq_len=8, embed_dim=16, num_heads=2,
+                   num_blocks=1, ffn_dim=32, dropout=0.0)
+    dummy = jnp.zeros((1, 8), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, dummy)["params"]
+    rec = SASRecRecommender(model, params)
+    out4 = rec.recommend([[0, 1], [2], [3, 4, 5], [6]], k=5)
+    n_compiles = rec._fn._cache_size()
+    out3 = rec.recommend([[0, 1], [2], [3, 4, 5]], k=5)
+    assert rec._fn._cache_size() == n_compiles  # same bucket: no recompile
+    assert out3.shape == (3, 5) and out4.shape == (4, 5)
+    np.testing.assert_array_equal(out3, out4[:3])
