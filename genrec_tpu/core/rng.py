@@ -15,7 +15,14 @@ import jax
 
 
 def configure_fast_rng(enable: bool = True) -> None:
-    """Use the TPU hardware RNG for jax.random (call before creating keys)."""
+    """Use the TPU hardware RNG for jax.random (call before creating keys).
+
+    Every CLI entry point (trainers, bench, scripts) funnels through this
+    call, so it also installs the persistent compilation cache — see
+    :mod:`genrec_tpu.core.compile_cache`.
+    """
+    from .compile_cache import configure_compile_cache
+    configure_compile_cache()
     if not enable:
         return
     try:

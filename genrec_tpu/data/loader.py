@@ -9,6 +9,8 @@ loads only its shard of every batch, and the incomplete final batch is padded
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Callable, Iterator, List, Sequence
 
 import numpy as np
@@ -23,10 +25,17 @@ class Loader:
                  batch_fn: Callable[[List], object], *,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = False,
                  process_index: int = 0, process_count: int = 1,
-                 transform: Callable = None):
+                 transform: Callable = None, prefetch: int = 2):
         """``transform(sample, rng) -> sample``: optional per-sample,
         per-epoch augmentation applied at iteration time (e.g. the P5
-        random-crop subsampling, reference p5_amazon.py:469-500)."""
+        random-crop subsampling, reference p5_amazon.py:469-500).
+
+        ``prefetch``: collate up to this many batches ahead on a background
+        thread so host-side batch assembly (tokenization is the LCRec SFT
+        hot spot) overlaps device compute — the TPU-era analogue of the
+        reference's ``DataLoader(num_workers=16, prefetch_factor=10)``
+        (rqvae_trainer.py:111-118). 0 = synchronous. Order and determinism
+        are unchanged (single producer thread)."""
         if batch_size % process_count != 0:
             raise ValueError(
                 f"global batch_size {batch_size} not divisible by "
@@ -41,6 +50,7 @@ class Loader:
         self.process_index = process_index
         self.process_count = process_count
         self.transform = transform
+        self.prefetch = prefetch
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -50,6 +60,48 @@ class Loader:
         return (n + self.global_batch_size - 1) // self.global_batch_size
 
     def __iter__(self) -> Iterator:
+        if self.prefetch > 0:
+            return self._prefetched_iter()
+        return self._sync_iter()
+
+    def _prefetched_iter(self) -> Iterator:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        done = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def produce():
+            try:
+                for batch in self._sync_iter():
+                    if not _put(batch):
+                        return   # consumer abandoned the epoch early
+                _put(done)
+            except BaseException as e:  # surface collate errors to consumer
+                _put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()   # unblock the producer on early exit
+            t.join()
+
+    def _sync_iter(self) -> Iterator:
         order = np.arange(len(self.samples))
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))

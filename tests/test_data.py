@@ -180,3 +180,28 @@ def test_add_disambiguation_suffix():
     np.testing.assert_array_equal(out[:, 3], [0, 0, 1, 2, 1])
     # all tuples unique afterwards
     assert len(np.unique(out, axis=0)) == len(out)
+
+
+def test_loader_prefetch_matches_sync():
+    """Background prefetching changes neither order nor content, and an
+    abandoned epoch doesn't wedge the producer thread."""
+    import threading
+    from genrec_tpu.data.loader import Loader
+    samples = [{"x": i} for i in range(37)]
+
+    def collate(rows):
+        return {"x": np.asarray([r["x"] for r in rows]),
+                "valid": np.ones(len(rows), bool)}
+
+    a = Loader(samples, 8, collate, shuffle=True, seed=3, prefetch=0)
+    b = Loader(samples, 8, collate, shuffle=True, seed=3, prefetch=2)
+    for _ in range(2):  # two epochs: epoch counters advance identically
+        for ba, bb in zip(a, b):
+            np.testing.assert_array_equal(ba["x"], bb["x"])
+            np.testing.assert_array_equal(ba["valid"], bb["valid"])
+
+    before = threading.active_count()
+    it = iter(Loader(samples, 8, collate, prefetch=2))
+    next(it)
+    it.close()          # abandon mid-epoch
+    assert threading.active_count() <= before + 1

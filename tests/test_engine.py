@@ -219,3 +219,32 @@ def test_trainable_split_matches_multi_transform_freeze():
     np.testing.assert_allclose(
         np.asarray(full["adapter"]["a"]),
         np.asarray(ref_eng.state.params["adapter"]["a"]), rtol=1e-6)
+
+
+def test_compile_cache_configuration(tmp_path, monkeypatch):
+    """GENREC_TPU_COMPILE_CACHE=<dir> installs the persistent cache; '0'
+    and the CPU-backend default leave it untouched."""
+    import jax
+    from genrec_tpu.core import compile_cache
+
+    monkeypatch.setattr(compile_cache, "_CONFIGURED", False)
+    monkeypatch.setenv("GENREC_TPU_COMPILE_CACHE", "0")
+    compile_cache.configure_compile_cache()
+    assert not compile_cache._CONFIGURED
+
+    monkeypatch.setenv("GENREC_TPU_COMPILE_CACHE", str(tmp_path / "cache"))
+    compile_cache.configure_compile_cache()
+    assert compile_cache._CONFIGURED
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cache")
+
+    # CPU default (no env): stays off
+    monkeypatch.setattr(compile_cache, "_CONFIGURED", False)
+    monkeypatch.delenv("GENREC_TPU_COMPILE_CACHE")
+    prev = jax.config.jax_compilation_cache_dir
+    compile_cache.configure_compile_cache()
+    assert not compile_cache._CONFIGURED
+    assert jax.config.jax_compilation_cache_dir == prev
+
+    # undo the in-process config so later tests don't write cache entries
+    # into the deleted tmp dir
+    jax.config.update("jax_compilation_cache_dir", None)
