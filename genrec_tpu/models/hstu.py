@@ -66,10 +66,16 @@ class HSTULayer(nn.Module):
     max_position_distance: int
     use_temporal_bias: bool
     dtype: jnp.dtype = jnp.float32
+    # optional attention override: called as attn_impl(q, k, v, pos_table,
+    # time_table, timestamps, padding_mask, max_position_distance) on the
+    # post-split (B, H, L, Dh) tensors; must apply the biases and the
+    # causal/padding masks itself. Used by the sequence-parallel ring
+    # executor (parallel/ring.py). Adds no params.
+    attn_impl: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, padding_mask, time_onehot=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, timestamps=None):
         B, L, D = x.shape
         H, Dh = self.num_heads, self.embed_dim // self.num_heads
         residual = x
@@ -80,12 +86,26 @@ class HSTULayer(nn.Module):
         split = lambda t: t.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
         q, k, v = split(q), split(k), split(v)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-
         pos_table = self.param("position_bias",
                                nn.initializers.normal(stddev=1.0),
                                (self.num_position_buckets, H))
+
+        if self.attn_impl is not None:
+            time_table = None
+            if self.use_temporal_bias and timestamps is not None:
+                time_table = self.param("temporal_bias",
+                                        nn.initializers.normal(stddev=1.0),
+                                        (self.num_time_buckets, H))
+            out = self.attn_impl(q, k, v, pos_table, time_table,
+                                 timestamps, padding_mask,
+                                 self.max_position_distance)
+            out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(
+                B, L, D)
+            return self._gate_and_ffn(x, residual, out, u, deterministic)
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+
         pos = jnp.arange(L)
         # Reference orientation quirk (hstu.py:380-384): the code computes
         # key_pos - query_pos (its comment claims the opposite) and then
@@ -122,7 +142,10 @@ class HSTULayer(nn.Module):
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        return self._gate_and_ffn(x, residual, out, u, deterministic)
 
+    def _gate_and_ffn(self, x, residual, out, u, deterministic):
+        D = self.embed_dim
         out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                            name="attn_norm")(out)
         out = (out * u).astype(self.dtype)
@@ -153,6 +176,11 @@ class HSTU(nn.Module):
     use_temporal_bias: bool = True
     fused_ce: bool = True   # chunked loss: no (B, L, V) logits in HBM
     dtype: jnp.dtype = jnp.float32
+    # sequence-parallel attention override (see HSTULayer.attn_impl). Also
+    # disables the (B, L, L, NB) temporal one-hot, which is quadratic in L
+    # and exactly what long-history sequence parallelism must avoid — the
+    # ring computes per-step bucket gathers instead.
+    attn_impl: Optional[object] = None
 
     @nn.compact
     def __call__(self, input_ids, timestamps=None, targets=None,
@@ -169,7 +197,8 @@ class HSTU(nn.Module):
         x = jnp.take(item_emb, input_ids, axis=0).astype(self.dtype)
         x = HwDropout(self.dropout)(x, deterministic=deterministic)
         time_onehot = None
-        if self.use_temporal_bias and timestamps is not None:
+        if self.attn_impl is None and self.use_temporal_bias \
+                and timestamps is not None:
             diff = timestamps[:, :, None] - timestamps[:, None, :]
             tbuckets = _temporal_bucket(diff, self.num_time_buckets)
             time_onehot = jax.nn.one_hot(tbuckets, self.num_time_buckets,
@@ -182,8 +211,10 @@ class HSTU(nn.Module):
                 num_time_buckets=self.num_time_buckets,
                 max_position_distance=self.max_position_distance,
                 use_temporal_bias=self.use_temporal_bias,
-                dtype=self.dtype, name=f"layer_{i}")(
-                    x, padding_mask, time_onehot, deterministic)
+                dtype=self.dtype, attn_impl=self.attn_impl,
+                name=f"layer_{i}")(
+                    x, padding_mask, time_onehot, deterministic,
+                    timestamps=timestamps)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                          name="final_norm")(x).astype(self.dtype)
 

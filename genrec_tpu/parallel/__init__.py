@@ -4,7 +4,8 @@ from .sharding import apply_shardings, fsdp_shardings, param_shardings
 from .pipeline import (PIPE_AXIS, PipelinedLM, from_pipeline_params,
                        make_pipeline_mesh, pipeline_blocks,
                        pipeline_param_shardings, to_pipeline_params)
-from .ring import SequenceParallelLM, ring_attention
+from .ring import (SequenceParallelLM, make_ring_silu_attention,
+                   ring_attention)
 from .multihost import host_barrier, maybe_initialize_distributed
 
 __all__ = ["DATA_AXIS", "MODEL_AXIS", "PIPE_AXIS", "make_mesh",
@@ -13,4 +14,5 @@ __all__ = ["DATA_AXIS", "MODEL_AXIS", "PIPE_AXIS", "make_mesh",
            "PipelinedLM", "from_pipeline_params", "make_pipeline_mesh",
            "pipeline_blocks", "pipeline_param_shardings",
            "to_pipeline_params", "SequenceParallelLM", "ring_attention",
+           "make_ring_silu_attention",
            "host_barrier", "maybe_initialize_distributed"]

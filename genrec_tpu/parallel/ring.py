@@ -95,6 +95,89 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      out_specs=spec4, check_vma=False)(q, k, v, kpad)
 
 
+def _ring_silu_body(q, k, v, pos_table, time_table, ts, pad,
+                    axis_name: str, n_shards: int, max_distance: int,
+                    has_time: bool):
+    """Per-device SiLU-attention ring. Unlike softmax, SiLU attention has
+    no row normalisation (reference hstu.py:261-263), so folding rotated
+    k/v blocks is a plain sum — the ring is *exact*, no online-softmax
+    state. Biases are recomputed per step from global positions /
+    timestamps (bucket gathers), which replaces the (B, L, L, NB) temporal
+    one-hot — quadratic in L and precisely what long-history sequence
+    parallelism must avoid."""
+    from genrec_tpu.models.hstu import _position_bucket, _temporal_bucket
+    B, H, Lp, Dh = q.shape
+    idx = jax.lax.axis_index(axis_name)
+    qpos = idx * Lp + jnp.arange(Lp)
+    ts_q = ts
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    qf = q.astype(jnp.float32)
+    n_pos_buckets = pos_table.shape[0]
+
+    def step(carry, r):
+        acc, k, v, pad, ts_k = carry
+        src = (idx - r) % n_shards
+        kpos = src * Lp + jnp.arange(Lp)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, k.astype(jnp.float32))
+        # reference orientation quirk (key_pos - query_pos, clamped at 0 —
+        # see models/hstu.py comment): replicated on global positions
+        pb = _position_bucket(kpos[None, :] - qpos[:, None],
+                              n_pos_buckets, max_distance)       # (Lp, Lp)
+        s = s + jnp.take(pos_table.astype(jnp.float32), pb,
+                         axis=0).transpose(2, 0, 1)[None]
+        if has_time:
+            diff = ts_q[:, :, None] - ts_k[:, None, :]
+            tb = _temporal_bucket(diff, time_table.shape[0])
+            s = s + jnp.take(time_table.astype(jnp.float32), tb,
+                             axis=0).transpose(0, 3, 1, 2)
+        s = jnp.where((kpos[None, :] > qpos[:, None])[None, None],
+                      NEG_INF, s)                                # causal
+        s = jnp.where(pad[:, None, None, :], NEG_INF, s)         # key pad
+        acc = acc + jnp.einsum("bhqk,bhkd->bhqd", jax.nn.silu(s),
+                               v.astype(jnp.float32))
+        k = jax.lax.ppermute(k, axis_name, perm)
+        v = jax.lax.ppermute(v, axis_name, perm)
+        pad = jax.lax.ppermute(pad, axis_name, perm)
+        ts_k = jax.lax.ppermute(ts_k, axis_name, perm)
+        return (acc, k, v, pad, ts_k), None
+
+    acc = jnp.zeros((B, H, Lp, Dh), jnp.float32)
+    (acc, *_), _ = jax.lax.scan(step, (acc, k, v, pad, ts),
+                                jnp.arange(n_shards))
+    return acc.astype(q.dtype)
+
+
+def make_ring_silu_attention(mesh: Mesh, axis: str = MODEL_AXIS):
+    """Sequence-parallel HSTU attention: plug into
+    ``HSTU(attn_impl=make_ring_silu_attention(mesh))`` and feed
+    (batch, sequence)-sharded inputs. Matches the dense layer exactly
+    (``tests/test_ring.py``)."""
+
+    def attn(q, k, v, pos_table, time_table, timestamps, padding_mask,
+             max_position_distance):
+        n = mesh.shape[axis]
+        B, H, L, Dh = q.shape
+        if L % n:
+            raise ValueError(f"sequence {L} not divisible by {axis}={n}")
+        has_time = time_table is not None
+        if not has_time:
+            time_table = jnp.zeros((1, H), jnp.float32)
+        if timestamps is None:
+            timestamps = jnp.zeros((B, L), jnp.int32)
+        body = functools.partial(
+            _ring_silu_body, axis_name=axis, n_shards=n,
+            max_distance=max_position_distance, has_time=has_time)
+        spec4 = P(DATA_AXIS, None, axis, None)
+        spec2 = P(DATA_AXIS, axis)
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(spec4, spec4, spec4, P(), P(), spec2, spec2),
+            out_specs=spec4, check_vma=False,
+        )(q, k, v, pos_table, time_table, timestamps, padding_mask)
+
+    return attn
+
+
 class SequenceParallelLM:
     """Context-parallel executor for
     :class:`~genrec_tpu.models.llm.CausalLM`: activations shard (batch,

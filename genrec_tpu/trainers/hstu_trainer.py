@@ -49,12 +49,22 @@ def train(epochs: int = 10, batch_size: int = 128,
           wandb_log_interval: int = 100,
           amp: bool = True, mixed_precision_type: str = "bf16",
           seed: int = 42, fast_rng: bool = True, shard_params: bool = False,
-          model_parallelism: int = 1,
+          model_parallelism: int = 1, sequence_parallelism: bool = False,
           resume_from_checkpoint: bool = False, max_steps_per_epoch: int = 0, **unused) -> dict:
     logger = setup_logger("hstu", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)
     mesh = make_mesh(model=model_parallelism)
+    if sequence_parallelism:
+        # ring SiLU attention: activations shard (batch, sequence) over
+        # (data, model) — the long-history path (parallel/ring.py). The
+        # catalog stays replicated (the model axis is spent on sequence).
+        if model_parallelism <= 1:
+            raise ValueError("sequence_parallelism shards the sequence "
+                             "over the model axis: set model_parallelism>1")
+        if shard_params:
+            raise ValueError("sequence_parallelism and shard_params both "
+                             "use the model axis — pick one")
 
     corpus = _load_corpus(dataset_type, dataset_folder, split)
     num_items = corpus.num_items
@@ -73,13 +83,18 @@ def train(epochs: int = 10, batch_size: int = 128,
 
     dtype = jnp.bfloat16 if (amp and mixed_precision_type == "bf16") \
         else jnp.float32
+    attn_impl = None
+    if sequence_parallelism:
+        from genrec_tpu.parallel.ring import make_ring_silu_attention
+        attn_impl = make_ring_silu_attention(mesh)
     model = HSTU(num_items=num_items, max_seq_len=max_seq_len,
                  embed_dim=embed_dim, num_heads=num_heads,
                  num_blocks=num_blocks, dropout=dropout,
                  num_position_buckets=num_position_buckets,
                  num_time_buckets=num_time_buckets,
                  max_position_distance=max_position_distance,
-                 use_temporal_bias=use_temporal_bias, dtype=dtype)
+                 use_temporal_bias=use_temporal_bias, dtype=dtype,
+                 attn_impl=attn_impl)
 
     rng = jax.random.PRNGKey(seed)
     sample = next(iter(train_loader))
@@ -137,8 +152,21 @@ def train(epochs: int = 10, batch_size: int = 128,
             return topk_metric_sums(batch.ids_fut[:, None], topk[:, :, None],
                                     EVAL_KS, valid=batch.valid)
 
+    shard_batch_fn = None
+    if sequence_parallelism:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sp2 = NamedSharding(mesh, P("data", "model"))
+        sp1 = NamedSharding(mesh, P("data"))
+
+        def shard_batch_fn(batch):
+            return jax.tree_util.tree_map(
+                lambda a: jax.device_put(np.asarray(a),
+                                         sp2 if np.ndim(a) == 2 else sp1),
+                batch)
+
     engine = Engine(mesh, loss_fn, tx, params, rng=rng,
-                    shard_params=shard_params)
+                    shard_params=shard_params,
+                    shard_batch_fn=shard_batch_fn)
     mlogger = MetricLogger(save_dir_root, wandb_project, wandb_logging,
                            enabled=pidx == 0)
     ckpt = CheckpointManager(os.path.join(save_dir_root, "ckpt"))
