@@ -28,6 +28,12 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     With ``data=None`` the data axis absorbs all devices not used by
     ``model``. A single-device mesh is valid and makes every sharding
     annotation a no-op, so one code path serves 1 chip → full pod.
+
+    On a multi-slice topology (devices spanning several ICI domains,
+    e.g. v5e-256 × N connected over DCN) the layout is slice-aware: the
+    data axis crosses slices — gradient psums are the only DCN traffic —
+    while the model axis (table sharding / sequence rings, per-step
+    collectives) stays inside a slice on ICI.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -37,6 +43,19 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
         data = n // model
     if data * model != n:
         raise ValueError(f"mesh {data}x{model} != {n} devices")
+
+    slice_ids = sorted({getattr(d, "slice_index", 0) or 0 for d in devices})
+    if len(slice_ids) > 1:
+        per_slice = n // len(slice_ids)
+        if (per_slice * len(slice_ids) == n and per_slice % model == 0
+                and data % len(slice_ids) == 0):
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (per_slice // model, model),
+                (len(slice_ids), 1), devices=devices)
+            return Mesh(arr.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+        # uneven slice split: fall through to the flat layout
+
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
