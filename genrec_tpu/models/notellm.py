@@ -58,11 +58,10 @@ class Query2Embedding(nn.Module):
                            name="lm")
         self.tau = self.param("tau", nn.initializers.constant(0.05), ())
 
-    def __call__(self, input_ids: jnp.ndarray,
-                 attention_mask: Optional[jnp.ndarray] = None,
-                 category_labels: Optional[jnp.ndarray] = None
-                 ) -> NoteLLMOutput:
-        """Paired-batch forward: rows (2i, 2i+1) are positive pairs."""
+    def embed(self, input_ids: jnp.ndarray,
+              attention_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """(B, D) L2-normalised [EMB]-position embeddings — the serving
+        entry point (no paired-batch loss machinery)."""
         B, L = input_ids.shape
         if attention_mask is None:
             attention_mask = (input_ids != 0).astype(jnp.int32)
@@ -74,7 +73,16 @@ class Query2Embedding(nn.Module):
         fallback = jnp.maximum(jnp.sum(attention_mask, axis=1) - 1, 0)
         emb_pos = jnp.where(emb_pos >= 0, emb_pos, fallback)
         emb = hidden[jnp.arange(B), emb_pos]                   # (B, D)
-        emb = l2norm(emb.astype(jnp.float32))
+        return l2norm(emb.astype(jnp.float32))
+
+    def __call__(self, input_ids: jnp.ndarray,
+                 attention_mask: Optional[jnp.ndarray] = None,
+                 category_labels: Optional[jnp.ndarray] = None
+                 ) -> NoteLLMOutput:
+        """Paired-batch forward: rows (2i, 2i+1) are positive pairs."""
+        if attention_mask is None:
+            attention_mask = (input_ids != 0).astype(jnp.int32)
+        emb = self.embed(input_ids, attention_mask)
 
         # contrastive loss over (even, odd) pairs (ref :170-189)
         q = emb[0::2]                                          # (B/2, D)

@@ -10,6 +10,10 @@ batch-inference classes with compiled hot paths:
   back to catalog item ids.
 * :class:`LCRecRecommender` — LLM seqrec prompt → compiled KV-cache
   constrained beam decode → catalog item ids.
+* :class:`CobraRecommender` — cascaded sparse+dense beam_fusion retrieval
+  over a precomputed item dense-vector index.
+* :class:`NoteLLMEmbedder` — batch [EMB] sentence embeddings + cosine
+  retrieval.
 
 All entry points pad to fixed shapes so the compiled executable is reused
 across requests.
@@ -280,3 +284,97 @@ class LCRecRecommender:
                     break
             results.append(row)
         return results
+
+
+class CobraRecommender:
+    """Cascaded sparse+dense retrieval: histories → ``beam_fusion``
+    (beam over semantic IDs + dense nearest-neighbour, score fusion —
+    reference cobra.py:679-760) → catalog item ids.
+
+    All-item dense vectors are precomputed once at construction (the
+    reference recomputes them per eval, cobra_trainer.py:303-334 — for a
+    fixed serving snapshot once is enough).
+    """
+
+    def __init__(self, model, params, sem_ids: np.ndarray,
+                 item_tokens: np.ndarray, max_items: int = 10,
+                 n_beam: int = 50, alpha: float = 0.5,
+                 quantize_int8: bool = False):
+        from genrec_tpu.models.cobra import Cobra, beam_fusion
+        self.model = model
+        self.params, deq = _maybe_quantize(params, quantize_int8)
+        self.sem_ids = np.asarray(sem_ids, np.int32)
+        self.item_tokens = np.asarray(item_tokens, np.int32)
+        self.max_items = max_items
+
+        @jax.jit
+        def itemvec(p, toks):
+            return model.apply({"params": deq(p)}, toks,
+                               method=Cobra.generate_itemvec)
+
+        from genrec_tpu.ops.batched import batched_apply
+        self._item_vecs = batched_apply(
+            lambda t: itemvec(self.params, t), self.item_tokens, 512)
+
+        @partial(jax.jit, static_argnums=(3,))
+        def _recommend(p, ids, toks, k):
+            return beam_fusion(model, deq(p), ids, toks, self._item_vecs,
+                               self.sem_ids, n_candidates=k, n_beam=n_beam,
+                               alpha=alpha)
+        self._fn = _recommend
+
+    def recommend(self, histories: Sequence[Sequence[int]],
+                  k: int = 10) -> np.ndarray:
+        """0-based item histories → (B, k) ranked item ids."""
+        from genrec_tpu.data.cobra import cobra_batch
+        from genrec_tpu.data.sequences import Sample
+        B = len(histories)
+        samples = [Sample(user_id=0, history=list(h), target=0)
+                   for h in histories]
+        samples += [Sample(user_id=0, history=[0], target=0)
+                    ] * (_bucket(B) - B)
+        batch = cobra_batch(samples, self.sem_ids, self.item_tokens,
+                            self.max_items, self.model.pad_id,
+                            include_target=False)
+        out = self._fn(self.params, jnp.asarray(batch.input_ids),
+                       jnp.asarray(batch.encoder_input_ids), k)
+        return np.asarray(out.item_ids)[:B]
+
+
+class NoteLLMEmbedder:
+    """Batch [EMB] sentence embeddings + cosine retrieval
+    (``Query2Embedding``; the reference wires no serving for it either —
+    SURVEY §2.2 NoteLLM row)."""
+
+    def __init__(self, model, params, quantize_int8: bool = False):
+        self.model = model
+        self.params, deq = _maybe_quantize(params, quantize_int8)
+
+        from genrec_tpu.models.notellm import Query2Embedding
+
+        @jax.jit
+        def _embed(p, ids, mask):
+            return model.apply({"params": deq(p)}, ids, mask,
+                               method=Query2Embedding.embed)
+        self._fn = _embed
+
+    def embed(self, token_rows: Sequence[Sequence[int]],
+              max_len: int = 0) -> np.ndarray:
+        """Right-padded token-id rows → (B, D) L2-normalised embeddings."""
+        B = len(token_rows)
+        L = max_len or max(len(r) for r in token_rows)
+        ids = np.zeros((_bucket(B), L), np.int32)
+        for r, row in enumerate(token_rows):
+            row = list(row)[:L]
+            ids[r, :len(row)] = row
+        mask = (ids != 0).astype(np.int32)
+        out = self._fn(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(out)[:B]
+
+    def retrieve(self, query_rows: Sequence[Sequence[int]],
+                 doc_embeddings: np.ndarray, k: int = 10,
+                 max_len: int = 0) -> np.ndarray:
+        """(B, k) indices of the nearest docs by cosine similarity."""
+        q = self.embed(query_rows, max_len=max_len)
+        sim = q @ np.asarray(doc_embeddings).T
+        return np.argsort(-sim, axis=1)[:, :k]

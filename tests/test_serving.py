@@ -92,3 +92,49 @@ def test_recommender_request_bucketing():
     assert rec._fn._cache_size() == n_compiles  # same bucket: no recompile
     assert out3.shape == (3, 5) and out4.shape == (4, 5)
     np.testing.assert_array_equal(out3, out4[:3])
+
+
+def test_cobra_recommender_returns_catalog_items():
+    from genrec_tpu.models.cobra import Cobra
+    from genrec_tpu.serving import CobraRecommender
+
+    rng = np.random.default_rng(0)
+    n_items, C, K = 30, 3, 8
+    model = Cobra(encoder_n_layers=1, encoder_hidden_dim=32,
+                  encoder_num_heads=4, encoder_vocab_size=100,
+                  id_vocab_size=K, n_codebooks=C, d_model=32,
+                  decoder_n_layers=1, decoder_num_heads=4,
+                  decoder_dropout=0.0)
+    sem_ids = rng.integers(0, K, (n_items, C)).astype(np.int32)
+    item_tokens = rng.integers(1, 100, (n_items, 6)).astype(np.int32)
+    ids = jnp.asarray(rng.integers(0, K, (2, 4 * C)), jnp.int32)
+    toks = jnp.asarray(rng.integers(1, 100, (2, 4, 6)), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids,
+                        toks)["params"]
+
+    rec = CobraRecommender(model, params, sem_ids, item_tokens,
+                           max_items=4, n_beam=8)
+    out = rec.recommend([[0, 1, 2], [5, 7]], k=5)
+    assert out.shape == (2, 5)
+    assert out.min() >= 0 and out.max() < n_items
+
+
+def test_notellm_embedder_and_retrieval():
+    from genrec_tpu.models.notellm import Query2Embedding
+    from genrec_tpu.serving import NoteLLMEmbedder
+
+    model = Query2Embedding(vocab_size=200, emb_token_id=5, d_model=32,
+                            n_layers=1, n_heads=4, n_kv_heads=2, ff_dim=64,
+                            max_len=32)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(6, 200, (4, 12)), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids)["params"]
+
+    emb = NoteLLMEmbedder(model, params)
+    rows = [[7, 8, 9, 5], [10, 11, 5], [12, 5]]   # [EMB]-terminated
+    e = emb.embed(rows, max_len=8)
+    assert e.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, rtol=1e-5)
+    # retrieval against itself: each query's nearest doc is itself
+    idx = emb.retrieve(rows, e, k=1, max_len=8)
+    np.testing.assert_array_equal(idx[:, 0], np.arange(3))
