@@ -49,7 +49,7 @@ def train(steps: int = 200, learning_rate: float = 3e-4,
           n_topics: int = 32, eval_pairs: int = 128, eval_every: int = 50,
           save_dir_root: str = "out/notellm", wandb_logging: bool = False,
           wandb_project: str = "", seed: int = 42, fast_rng: bool = True,
-          model_parallelism: int = 1, **unused) -> dict:
+          model_parallelism: int = 1, fsdp: bool = False, **unused) -> dict:
     logger = setup_logger("notellm", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)
@@ -78,7 +78,10 @@ def train(steps: int = 200, learning_rate: float = 3e-4,
         out = model.apply({"params": params}, batch)
         return out.loss, {"contrastive_loss": out.contrastive_loss}
 
-    engine = Engine(mesh, loss_fn, tx, params, rng=rng)
+    # fsdp: ZeRO-3 placement over the data axis (same path as the LCRec
+    # trainer) for full fine-tuning of a real Qwen-class backbone
+    engine = Engine(mesh, loss_fn, tx, params, rng=rng,
+                    shard_params="fsdp" if fsdp else False)
     mlogger = MetricLogger(save_dir_root, wandb_project, wandb_logging,
                            enabled=jax.process_index() == 0)
 

@@ -142,3 +142,31 @@ def test_query2embedding_from_backbone(tmp_path):
     out = model.apply({"params": params}, jnp.asarray(ids))
     assert np.isfinite(float(out.loss))
     assert out.embeddings.shape == (4, 32)
+
+
+def test_notellm_trainer_fsdp_e2e(tmp_path):
+    """train.fsdp=True shards the backbone over the data axis."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from genrec_tpu.configlib import gin
+    from genrec_tpu.trainers.notellm_trainer import train
+    gin.parse_config("""
+        train.steps = 6
+        train.batch_pairs = 8
+        train.vocab_size = 512
+        train.seq_len = 16
+        train.d_model = 64
+        train.n_layers = 1
+        train.n_heads = 4
+        train.n_kv_heads = 2
+        train.ff_dim = 128
+        train.eval_pairs = 16
+        train.eval_every = 6
+        train.fsdp = True
+        train.wandb_logging = False
+    """)
+    gin.bind_parameter("train.save_dir_root", str(tmp_path))
+    m = train()
+    assert "acc@10" in m
