@@ -101,7 +101,7 @@ class HSTULayer(nn.Module):
                                  self.max_position_distance)
             out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(
                 B, L, D)
-            return self._gate_and_ffn(x, residual, out, u, deterministic)
+            return self._gate_and_ffn(residual, out, u, deterministic)
 
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
@@ -142,9 +142,9 @@ class HSTULayer(nn.Module):
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
-        return self._gate_and_ffn(x, residual, out, u, deterministic)
+        return self._gate_and_ffn(residual, out, u, deterministic)
 
-    def _gate_and_ffn(self, x, residual, out, u, deterministic):
+    def _gate_and_ffn(self, residual, out, u, deterministic):
         D = self.embed_dim
         out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                            name="attn_norm")(out)

@@ -202,6 +202,24 @@ class CausalLMOutput(NamedTuple):
     loss: Optional[jnp.ndarray]
 
 
+def causal_lm_fused_ce(model: "CausalLM", x: jnp.ndarray,
+                       labels: jnp.ndarray, wte: jnp.ndarray,
+                       lm_head_kernel: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """The shift + chunked linear+CE tail shared by ``CausalLM.__call__``
+    and the PP/SP executors (parallel/pipeline.py, parallel/ring.py) —
+    one definition so the three paths cannot silently diverge."""
+    from genrec_tpu.ops.fused_ce import fused_linear_cross_entropy
+    D = x.shape[-1]
+    xs = x[:, :-1, :].reshape(-1, D)
+    ls = labels[:, 1:].reshape(-1)
+    chunk = min(model.fused_ce_chunk,
+                max(128, -(-model.vocab_size // 128) * 128))
+    if model.tie_embeddings:
+        return fused_linear_cross_entropy(xs, wte, ls, -100, chunk, True)
+    return fused_linear_cross_entropy(xs, lm_head_kernel, ls, -100, chunk,
+                                      False)
+
+
 @gin.configurable
 class CausalLM(nn.Module):
     """Small Qwen2-family causal LM. ``labels == -100`` are ignored
@@ -339,18 +357,9 @@ class CausalLM(nn.Module):
             # chunked linear+CE: the (B, L, V) logits/log-softmax pair never
             # materialises (HBM traffic is the SFT-step bound at real vocab
             # sizes); training call sites consume only ``loss``
-            from genrec_tpu.ops.fused_ce import fused_linear_cross_entropy
-            D = x.shape[-1]
-            xs = x[:, :-1, :].reshape(-1, D)
-            ls = labels[:, 1:].reshape(-1)
-            chunk = min(self.fused_ce_chunk,
-                        max(128, -(-self.vocab_size // 128) * 128))
-            if self.tie_embeddings:
-                loss = fused_linear_cross_entropy(
-                    xs, self.wte, ls, -100, chunk, True)
-            else:
-                loss = fused_linear_cross_entropy(
-                    xs, self.lm_head(), ls, -100, chunk, False)
+            loss = causal_lm_fused_ce(
+                self, x, labels, self.wte,
+                None if self.tie_embeddings else self.lm_head())
             return CausalLMOutput(logits=None, loss=loss)
 
         logits = self._lm_logits(x)

@@ -254,17 +254,10 @@ class PipelinedLM:
              labels: jnp.ndarray) -> jnp.ndarray:
         """Fused chunked linear+CE over the pipelined hidden states —
         identical semantics to ``CausalLM.__call__`` with labels."""
-        m = self.model
+        from genrec_tpu.models.llm import causal_lm_fused_ce
         rest = pipe_params["rest"]
         x = self._hidden(pipe_params, input_ids, attention_mask)
-        from genrec_tpu.ops.fused_ce import fused_linear_cross_entropy
-        D = x.shape[-1]
-        xs = x[:, :-1, :].reshape(-1, D)
-        ls = labels[:, 1:].reshape(-1)
-        chunk = min(m.fused_ce_chunk,
-                    max(128, -(-m.vocab_size // 128) * 128))
-        if m.tie_embeddings:
-            return fused_linear_cross_entropy(
-                xs, rest["wte"], ls, -100, chunk, True)
-        return fused_linear_cross_entropy(
-            xs, rest["lm_head"]["kernel"], ls, -100, chunk, False)
+        return causal_lm_fused_ce(
+            self.model, x, labels, rest["wte"],
+            None if self.model.tie_embeddings
+            else rest["lm_head"]["kernel"])

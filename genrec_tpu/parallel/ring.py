@@ -191,12 +191,14 @@ class SequenceParallelLM:
     """
 
     def __init__(self, model, mesh: Mesh, axis: str = MODEL_AXIS):
+        import flax.linen as nn
         from genrec_tpu.models.llm import LlmBlock
         self.model = model
         self.mesh = mesh
         self.axis = axis
         attn = functools.partial(ring_attention, mesh=mesh, axis=axis)
-        self._block = LlmBlock(model.d_model, model.n_heads,
+        block_cls = nn.remat(LlmBlock) if model.remat else LlmBlock
+        self._block = block_cls(model.d_model, model.n_heads,
                                model.n_kv_heads, model.ff_dim,
                                lora_rank=model.lora_rank,
                                lora_alpha=model.lora_alpha,
@@ -229,16 +231,9 @@ class SequenceParallelLM:
     def loss(self, params: dict, input_ids: jnp.ndarray,
              attention_mask: Optional[jnp.ndarray],
              labels: jnp.ndarray) -> jnp.ndarray:
-        m = self.model
+        from genrec_tpu.models.llm import causal_lm_fused_ce
         x = self.hidden(params, input_ids, attention_mask)
-        from genrec_tpu.ops.fused_ce import fused_linear_cross_entropy
-        D = x.shape[-1]
-        xs = x[:, :-1, :].reshape(-1, D)
-        ls = labels[:, 1:].reshape(-1)
-        chunk = min(m.fused_ce_chunk,
-                    max(128, -(-m.vocab_size // 128) * 128))
-        if m.tie_embeddings:
-            return fused_linear_cross_entropy(
-                xs, params["wte"], ls, -100, chunk, True)
-        return fused_linear_cross_entropy(
-            xs, params["lm_head"]["kernel"], ls, -100, chunk, False)
+        return causal_lm_fused_ce(
+            self.model, x, labels, params["wte"],
+            None if self.model.tie_embeddings
+            else params["lm_head"]["kernel"])

@@ -316,9 +316,11 @@ class CobraRecommender:
         self._item_vecs = batched_apply(
             lambda t: itemvec(self.params, t), self.item_tokens, 512)
 
-        @partial(jax.jit, static_argnums=(3,))
-        def _recommend(p, ids, toks, k):
-            return beam_fusion(model, deq(p), ids, toks, self._item_vecs,
+        # item_vecs passed as an operand (not closed over): a captured
+        # device array would be inlined into the HLO as a literal constant
+        @partial(jax.jit, static_argnums=(4,))
+        def _recommend(p, ids, toks, item_vecs, k):
+            return beam_fusion(model, deq(p), ids, toks, item_vecs,
                                self.sem_ids, n_candidates=k, n_beam=n_beam,
                                alpha=alpha)
         self._fn = _recommend
@@ -337,7 +339,8 @@ class CobraRecommender:
                             self.max_items, self.model.pad_id,
                             include_target=False)
         out = self._fn(self.params, jnp.asarray(batch.input_ids),
-                       jnp.asarray(batch.encoder_input_ids), k)
+                       jnp.asarray(batch.encoder_input_ids),
+                       self._item_vecs, k)
         return np.asarray(out.item_ids)[:B]
 
 
@@ -362,7 +365,8 @@ class NoteLLMEmbedder:
               max_len: int = 0) -> np.ndarray:
         """Right-padded token-id rows → (B, D) L2-normalised embeddings."""
         B = len(token_rows)
-        L = max_len or max(len(r) for r in token_rows)
+        # bucket the sequence axis too: a distinct L is a distinct compile
+        L = max_len or _bucket(max(len(r) for r in token_rows))
         ids = np.zeros((_bucket(B), L), np.int32)
         for r, row in enumerate(token_rows):
             row = list(row)[:L]

@@ -320,11 +320,11 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
         acc.reset()
         detail: dict = {}
         ebs = eval_batch_size or batch_size
-        for batch in iter_batches(eval_samples, ebs, batch_fn_eval,
+        ep = export_params()   # hoisted: PP layout export is per-eval, not
+        for batch in iter_batches(eval_samples, ebs, batch_fn_eval,  # per-batch
                                   False, 0):
             db = shard_batch(batch, mesh)
-            out = generate(export_params(), db["input_ids"],
-                           db["attention_mask"])
+            out = generate(ep, db["input_ids"], db["attention_mask"])
             sums = topk_metric_sums(db["target_sem_ids"], out.sem_ids,
                                     EVAL_KS, valid=db["valid"])
             acc.update_sums({k: float(np.asarray(v))

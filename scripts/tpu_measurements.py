@@ -47,8 +47,9 @@ def main() -> int:
     for name, argv, timeout in MEASUREMENTS:
         if args.only and name not in args.only:
             continue
-        cmd = list(argv) + (["--smoke"] if args.quick
-                            and argv[1] == "bench.py" else [])
+        cmd = list(argv)
+        if args.quick:
+            cmd.append("--smoke" if argv[1] == "bench.py" else "--tiny")
         print(f"== {name}: {' '.join(cmd)}", flush=True)
         t0 = time.time()
         try:

@@ -75,11 +75,12 @@ def test_ring_attention_grads_match_dense():
                                    rtol=1e-4, atol=1e-6)
 
 
-def test_sequence_parallel_lm_matches_plain():
+@pytest.mark.parametrize("remat", [False, True])
+def test_sequence_parallel_lm_matches_plain(remat):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     model = CausalLM(vocab_size=256, d_model=32, n_layers=2, n_heads=4,
-                     n_kv_heads=2, ff_dim=64, max_len=32)
+                     n_kv_heads=2, ff_dim=64, max_len=32, remat=remat)
     rng = np.random.default_rng(2)
     B, L = 4, 16
     ids = jnp.asarray(rng.integers(1, 256, (B, L)), jnp.int32)
