@@ -108,6 +108,12 @@ def main():
     print(f"qwen2.5-1.5b-shape lora-sft: {dt*1e3:8.1f} ms/step  "
           f"{B/dt:6.1f} ex/s  {B*L/dt:9.0f} tok/s  "
           f"(B={B}, L={L}, rank={args.lora_rank}, 1 chip)", flush=True)
+    import json
+    print(json.dumps({
+        "metric": "qwen_scale_lora_sft_tokens_per_sec_per_chip",
+        "value": round(B * L / dt, 1), "unit": "tokens/sec/chip",
+        "ms_per_step": round(dt * 1e3, 1), "batch": B, "seq": L,
+    }), flush=True)
 
 
 if __name__ == "__main__":
