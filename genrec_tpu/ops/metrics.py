@@ -121,17 +121,49 @@ def sem_id_detail_sums(actual: jnp.ndarray, top1: jnp.ndarray,
     out["exact_match_sum"] = jnp.sum(jnp.all(actual == top1,
                                              axis=-1) * valid)
     if catalog_codes is not None and codebook_size:
-        # key-encode tuples and membership-test against the sorted catalog
-        K = jnp.int64(codebook_size)
-        def key(codes):
-            acc = jnp.zeros(codes.shape[:-1], jnp.int64)
-            for c in range(C):
-                acc = acc * K + codes[..., c].astype(jnp.int64)
-            return acc
-        cat = jnp.sort(key(catalog_codes))
-        pk = key(top1)
-        idx = jnp.searchsorted(cat, pk)
-        idx = jnp.clip(idx, 0, cat.shape[0] - 1)
-        exists = cat[idx] == pk
+        exists = catalog_membership(catalog_codes, top1, codebook_size)
         out["invalid_sum"] = jnp.sum((~exists).astype(jnp.float32) * valid)
     return out
+
+
+def catalog_membership(catalog_codes: jnp.ndarray, queries: jnp.ndarray,
+                       codebook_size: int) -> jnp.ndarray:
+    """Exact membership of (..., C) code tuples in an (N, C) catalog.
+
+    int32-safe at any depth: a raw radix key needs C·log2(K) bits (40 at the
+    reference LCRec config of 5×256 codebooks,
+    ``/root/reference/config/lcrec/amazon/lcrec.gin``) and JAX silently
+    truncates int64 to int32 without x64 mode. Instead keys are *re-based
+    per level* — the same technique as ``decoding/trie.py`` PackedTrie —
+    with a level's key being ``prefix_rank * K + code`` where prefix_rank is
+    the searchsorted-left position of the row's prefix key among the sorted
+    catalog prefix keys (ties collapse to one rank, which is exactly the
+    dedup re-basing needs). Keys stay < N·K, so this is safe whenever
+    N·K < 2^31 (~8.4M items at K=256). Fully jit-compatible: only sorts and
+    binary searches, no unique().
+    """
+    C = catalog_codes.shape[-1]
+    K = jnp.int32(codebook_size)
+    if int(catalog_codes.shape[0]) * int(codebook_size) >= 2 ** 31:
+        raise ValueError(
+            f"{catalog_codes.shape[0]} items x {codebook_size} codes "
+            "exceeds int32 re-based keys")
+    cat_key = catalog_codes[:, 0].astype(jnp.int32)
+    q_key = queries[..., 0].astype(jnp.int32)
+    alive = jnp.ones(queries.shape[:-1], bool)
+    for c in range(1, C):
+        sorted_keys = jnp.sort(cat_key)
+        cat_rank = jnp.searchsorted(sorted_keys, cat_key).astype(jnp.int32)
+        q_idx = jnp.clip(jnp.searchsorted(sorted_keys, q_key),
+                         0, sorted_keys.shape[0] - 1)
+        alive = alive & (sorted_keys[q_idx] == q_key)
+        cat_key = cat_rank * K + catalog_codes[:, c].astype(jnp.int32)
+        # dead queries get key -1, which no catalog key (all >= 0) matches
+        q_key = jnp.where(alive,
+                          q_idx.astype(jnp.int32) * K
+                          + queries[..., c].astype(jnp.int32),
+                          jnp.int32(-1))
+    sorted_keys = jnp.sort(cat_key)
+    q_idx = jnp.clip(jnp.searchsorted(sorted_keys, q_key),
+                     0, sorted_keys.shape[0] - 1)
+    return alive & (sorted_keys[q_idx] == q_key)

