@@ -1,12 +1,27 @@
-"""Benchmark: RQVAE+TIGER training throughput (examples/sec/chip).
+"""Benchmark: training/serving throughput with roofline accounting.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
-"vs_baseline": N}. The reference publishes no throughput numbers
-(BASELINE.md), so ``vs_baseline`` is reported against a fixed nominal target
-of 1000 TIGER-train examples/sec/chip at the paper config (d_model 384,
-8 layers, batch 256, 20-item histories, 3-level codes).
+"vs_baseline": N, "mfu_pct": ..., "hbm_bw_pct": ..., "spread_pct": ...}.
 
-Usage: python bench.py [--smoke] [--steps N] [--batch N]
+Measurement protocol (VERDICT r2 weak #2/#3): every number is the MEDIAN of
+``--repeats`` (default 5) independently timed windows of ``--steps`` steps
+each, after warmup + a forced host fetch (the axon dispatch queue absorbs
+~30 launches, so only a value fetch proves completion). ``spread_pct`` is
+(max-min)/2/median over the windows. Full per-window records append to
+``out/tpu_measurements.jsonl``. Never run two TPU processes concurrently.
+
+Roofline: FLOPs/step and HBM bytes/step come from XLA's own cost model on
+the compiled step (``compiled.cost_analysis()`` — static, auditable,
+covers every fused op rather than a hand formula). ``mfu_pct`` = achieved
+FLOP/s over the chip's peak bf16 matmul rate; ``hbm_bw_pct`` = achieved
+bytes/s over peak HBM bandwidth. The reference publishes no throughput
+numbers (BASELINE.md), so ``vs_baseline`` compares against this repo's
+ROUND-2 recorded medians (REFERENCE_POINTS below) — i.e. it reports
+round-over-round speedup, not a fictitious external target.
+
+Usage: python bench.py [--smoke] [--steps N] [--batch N] [--repeats R]
+                       [--model tiger|sasrec|hstu|rqvae|cobra|lcrec_decode]
+                       [--generate] [--scaling]
 """
 
 from __future__ import annotations
@@ -20,11 +35,67 @@ import time
 
 import numpy as np
 
-NOMINAL_BASELINE_EXAMPLES_PER_SEC = 1000.0
+# round-2 measured medians (out/tpu_measurements.jsonl @ 2fb17e8), the
+# comparison point for vs_baseline: >1 means faster than round 2.
+REFERENCE_POINTS = {
+    "tiger_train_examples_per_sec_per_chip": 19360.0,
+    "sasrec_train_examples_per_sec_per_chip": 26640.0,
+    "hstu_train_examples_per_sec_per_chip": 57630.0,
+    "rqvae_train_examples_per_sec_per_chip": 66300.0,
+    "cobra_train_examples_per_sec_per_chip": 898.0,
+    "tiger_constrained_generation_users_per_sec_per_chip": 8100.0,
+    "lcrec_constrained_decode_users_per_sec_per_chip": 302.0,
+}
+
+# peak bf16 matmul FLOP/s and HBM bytes/s per device kind (public specs;
+# v5e: 197 TFLOP/s bf16, 819 GB/s HBM)
+DEVICE_PEAKS = {
+    "TPU v5 lite": (197.0e12, 819.0e9),
+    "TPU v5e": (197.0e12, 819.0e9),
+    "TPU v4": (275.0e12, 1228.0e9),
+    "TPU v6 lite": (918.0e12, 1640.0e9),
+}
 
 
-def bench_tiger(batch_size: int, steps: int, warmup: int, small: bool,
-                dtype_name: str = "float32", n_devices: int = 0):
+def device_peaks():
+    import jax
+    kind = jax.devices()[0].device_kind
+    for prefix, peaks in DEVICE_PEAKS.items():
+        if kind.startswith(prefix):
+            return peaks
+    return (None, None)
+
+
+def xla_cost(jitted, *args, **kwargs):
+    """FLOPs + HBM bytes of one compiled step, from XLA's cost model."""
+    try:
+        compiled = jitted.lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return {"flops": float(ca.get("flops", 0.0)) or None,
+                "bytes": float(ca.get("bytes accessed", 0.0)) or None}
+    except Exception as e:  # remote backends may not expose cost analysis
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+        return {"flops": None, "bytes": None}
+
+
+def timed_windows(run_steps, fetch, batch_elems: int, steps: int,
+                  repeats: int):
+    """Median-of-windows protocol: R windows of N steps, fetch-fenced."""
+    eps = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_steps(steps)
+        fetch()
+        dt = time.perf_counter() - t0
+        eps.append(batch_elems * steps / dt)
+    return eps
+
+
+def bench_tiger(batch_size: int, steps: int, warmup: int, repeats: int,
+                small: bool, dtype_name: str = "bfloat16",
+                n_devices: int = 0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -75,27 +146,29 @@ def bench_tiger(batch_size: int, steps: int, warmup: int, small: bool,
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return apply_updates(state, grads, tx), loss
 
-    key = jax.random.PRNGKey(1)
-    for i in range(warmup):
-        key, k = jax.random.split(key)
-        state, loss = step(state, batch, k)
-    # force a real value fetch: on the axon platform block_until_ready
-    # returns once the execution is *enqueued* (the dispatch queue absorbs
-    # ~30 launches), so only a host transfer proves the chain completed —
-    # and the first transfer also compiles the transfer program.
-    float(np.asarray(loss))
+    cost = xla_cost(step, state, batch, jax.random.PRNGKey(1))
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        key, k = jax.random.split(key)
-        state, loss = step(state, batch, k)
-    final_loss = float(np.asarray(loss))
-    dt = time.perf_counter() - t0
-    return B * steps / dt, final_loss
+    key = [jax.random.PRNGKey(1)]
+    st = [state]
+    loss_box = [None]
+
+    def run_steps(n):
+        for _ in range(n):
+            key[0], k = jax.random.split(key[0])
+            st[0], loss_box[0] = step(st[0], batch, k)
+
+    run_steps(warmup)
+    # force a real value fetch: on the axon platform block_until_ready
+    # returns once the execution is *enqueued*, so only a host transfer
+    # proves the chain completed (and compiles the transfer program).
+    fetch = lambda: float(np.asarray(loss_box[0]))
+    fetch()
+    eps = timed_windows(run_steps, fetch, B, steps, repeats)
+    return eps, fetch(), cost
 
 
 def bench_idseq(model_name: str, batch_size: int, steps: int, warmup: int,
-                small: bool, dtype_name: str = "bfloat16"):
+                repeats: int, small: bool, dtype_name: str = "bfloat16"):
     """SASRec / HSTU train throughput at the reference paper configs
     (config/{sasrec,hstu}/amazon.gin: L=50, d=64, 2 blocks, B=128,
     Beauty-sized 12k-item catalog; HSTU adds temporal bias)."""
@@ -142,22 +215,27 @@ def bench_idseq(model_name: str, batch_size: int, steps: int, warmup: int,
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return apply_updates(state, grads, tx), loss
 
-    key = jax.random.PRNGKey(1)
-    for _ in range(warmup):
-        key, k = jax.random.split(key)
-        state, loss = step(state, input_ids, targets, k, **kwargs)
-    float(np.asarray(loss))   # real fetch (see bench_tiger comment)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        key, k = jax.random.split(key)
-        state, loss = step(state, input_ids, targets, k, **kwargs)
-    final_loss = float(np.asarray(loss))
-    dt = time.perf_counter() - t0
-    return B * steps / dt, final_loss
+    cost = xla_cost(step, state, input_ids, targets, jax.random.PRNGKey(1),
+                    **kwargs)
+
+    key = [jax.random.PRNGKey(1)]
+    st = [state]
+    loss_box = [None]
+
+    def run_steps(n):
+        for _ in range(n):
+            key[0], k = jax.random.split(key[0])
+            st[0], loss_box[0] = step(st[0], input_ids, targets, k, **kwargs)
+
+    run_steps(warmup)
+    fetch = lambda: float(np.asarray(loss_box[0]))
+    fetch()
+    eps = timed_windows(run_steps, fetch, B, steps, repeats)
+    return eps, fetch(), cost
 
 
-def bench_generate(batch_size: int, steps: int, warmup: int, small: bool,
-                   num_beams: int = 10):
+def bench_generate(batch_size: int, steps: int, warmup: int, repeats: int,
+                   small: bool, num_beams: int = 10):
     """Trie-constrained generation throughput (the reference's dominant eval
     cost: host-side Python trie walk per beam per step; here fully compiled)."""
     import jax
@@ -192,19 +270,21 @@ def bench_generate(batch_size: int, steps: int, warmup: int, small: bool,
     key = jax.random.PRNGKey(1)
     args = (params, batch["user_ids"], batch["sem_ids"],
             batch["token_type_ids"], batch["seq_mask"])
-    for _ in range(warmup):
-        out = gen(*args, key)
-    np.asarray(out.sem_ids)   # real fetch (see bench_tiger comment)
-    import time
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = gen(*args, key)
-    np.asarray(out.sem_ids)
-    dt = time.perf_counter() - t0
-    return B * steps / dt
+    out_box = [None]
+
+    def run_steps(n):
+        for _ in range(n):
+            out_box[0] = gen(*args, key)
+
+    run_steps(warmup)
+    fetch = lambda: np.asarray(out_box[0].sem_ids)
+    fetch()
+    eps = timed_windows(run_steps, fetch, B, steps, repeats)
+    return eps, None, {"flops": None, "bytes": None}
 
 
-def bench_rqvae(batch_size: int, steps: int, warmup: int, small: bool):
+def bench_rqvae(batch_size: int, steps: int, warmup: int, repeats: int,
+                small: bool):
     """RQ-VAE train throughput at the reference recipe
     (config/tiger/amazon/rqvae.gin: 768-d inputs, 32-d codes, 3x256
     codebooks, STE + Sinkhorn-last, B=1024, fp32) — the stage-1 job the
@@ -243,23 +323,29 @@ def bench_rqvae(batch_size: int, steps: int, warmup: int, small: bool):
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return apply_updates(state, grads, tx), loss
 
-    key = jax.random.PRNGKey(2)
-    ix = jnp.asarray(rng.integers(0, n_items, (steps + warmup, B)))
-    for i in range(warmup):
-        key, k = jax.random.split(key)
-        state, loss = step(state, emb[ix[i]], k)
-    float(np.asarray(loss))
-    t0 = time.perf_counter()
-    for i in range(warmup, warmup + steps):
-        key, k = jax.random.split(key)
-        state, loss = step(state, emb[ix[i]], k)
-    final = float(np.asarray(loss))
-    dt = time.perf_counter() - t0
-    return B * steps / dt, final
+    cost = xla_cost(step, state, emb[:B], jax.random.PRNGKey(2))
+
+    key = [jax.random.PRNGKey(2)]
+    st = [state]
+    loss_box = [None]
+    ix = jnp.asarray(rng.integers(0, n_items, (64, B)))
+    i_box = [0]
+
+    def run_steps(n):
+        for _ in range(n):
+            key[0], k = jax.random.split(key[0])
+            st[0], loss_box[0] = step(st[0], emb[ix[i_box[0] % 64]], k)
+            i_box[0] += 1
+
+    run_steps(warmup)
+    fetch = lambda: float(np.asarray(loss_box[0]))
+    fetch()
+    eps = timed_windows(run_steps, fetch, B, steps, repeats)
+    return eps, fetch(), cost
 
 
-def bench_cobra(batch_size: int, steps: int, warmup: int, small: bool,
-                dtype_name: str = "bfloat16"):
+def bench_cobra(batch_size: int, steps: int, warmup: int, repeats: int,
+                small: bool, dtype_name: str = "bfloat16"):
     """COBRA train throughput at the amazon config scale
     (config/cobra/amazon.gin: d=256, 1-layer light text encoder, 8-layer
     decoder, 20-item histories + teacher-forced target, 3 codes/item,
@@ -304,22 +390,26 @@ def bench_cobra(batch_size: int, steps: int, warmup: int, small: bool,
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return apply_updates(state, grads, tx), loss
 
-    key = jax.random.PRNGKey(1)
-    for _ in range(warmup):
-        key, k = jax.random.split(key)
-        state, loss = step(state, ids, toks, k)
-    float(np.asarray(loss))   # real fetch (see bench_tiger comment)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        key, k = jax.random.split(key)
-        state, loss = step(state, ids, toks, k)
-    final = float(np.asarray(loss))
-    dt = time.perf_counter() - t0
-    return B * steps / dt, final
+    cost = xla_cost(step, state, ids, toks, jax.random.PRNGKey(1))
+
+    key = [jax.random.PRNGKey(1)]
+    st = [state]
+    loss_box = [None]
+
+    def run_steps(n):
+        for _ in range(n):
+            key[0], k = jax.random.split(key[0])
+            st[0], loss_box[0] = step(st[0], ids, toks, k)
+
+    run_steps(warmup)
+    fetch = lambda: float(np.asarray(loss_box[0]))
+    fetch()
+    eps = timed_windows(run_steps, fetch, B, steps, repeats)
+    return eps, fetch(), cost
 
 
 def bench_lcrec_decode(batch_size: int, steps: int, warmup: int,
-                       small: bool, num_beams: int = 10):
+                       repeats: int, small: bool, num_beams: int = 10):
     """LCRec serving decode throughput: prompt prefill + per-level
     KV-cache beam steps with the item-trie constraint — the compiled
     counterpart of the reference's HF generate-with-prefix-fn eval
@@ -355,15 +445,68 @@ def bench_lcrec_decode(batch_size: int, steps: int, warmup: int,
             4, lcrec._config["base_vocab"], plen[r])
         mask[r, L - plen[r]:] = 1
     ids, mask = jnp.asarray(ids), jnp.asarray(mask)
-    for _ in range(warmup):
-        out = gen(params, ids, mask)
-    np.asarray(out.sem_ids)   # real fetch (see bench_tiger comment)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = gen(params, ids, mask)
-    np.asarray(out.sem_ids)
-    dt = time.perf_counter() - t0
-    return B * steps / dt
+    out_box = [None]
+
+    def run_steps(n):
+        for _ in range(n):
+            out_box[0] = gen(params, ids, mask)
+
+    run_steps(warmup)
+    fetch = lambda: np.asarray(out_box[0].sem_ids)
+    fetch()
+    eps = timed_windows(run_steps, fetch, B, steps, repeats)
+    return eps, None, {"flops": None, "bytes": None}
+
+
+def summarize(metric: str, unit: str, eps_list, cost, extra: dict):
+    """Assemble the one-line JSON + append the protocol record."""
+    import jax
+    eps = np.asarray(eps_list, np.float64)
+    median = float(np.median(eps))
+    spread_pct = float((eps.max() - eps.min()) / 2 / median * 100) \
+        if len(eps) > 1 else 0.0
+    peak_flops, peak_bw = device_peaks()
+    B = extra.get("batch", 0)
+    mfu_pct = hbm_bw_pct = None
+    secs_per_step = None
+    if B:
+        secs_per_step = B / median
+        if cost.get("flops") and peak_flops:
+            mfu_pct = round(cost["flops"] / secs_per_step / peak_flops * 100,
+                            2)
+        if cost.get("bytes") and peak_bw:
+            hbm_bw_pct = round(cost["bytes"] / secs_per_step / peak_bw * 100,
+                               2)
+    ref = REFERENCE_POINTS.get(metric)
+    line = {
+        "metric": metric,
+        "value": round(median, 2),
+        "unit": unit,
+        "vs_baseline": round(median / ref, 4) if ref else 1.0,
+        "mfu_pct": mfu_pct,
+        "hbm_bw_pct": hbm_bw_pct,
+        "spread_pct": round(spread_pct, 2),
+    }
+    record = dict(line)
+    record.update({
+        "windows_eps": [round(float(e), 2) for e in eps],
+        "flops_per_step": cost.get("flops"),
+        "hbm_bytes_per_step": cost.get("bytes"),
+        "device_kind": jax.devices()[0].device_kind,
+        "n_devices": jax.device_count(),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "protocol": "median of repeated timed windows, fetch-fenced, "
+                    "sequential single process",
+        "vs_baseline_meaning": "speedup vs round-2 recorded median",
+        **extra,
+    })
+    os.makedirs("out", exist_ok=True)
+    with open("out/tpu_measurements.jsonl", "a") as f:
+        f.write(json.dumps(record) + "\n")
+    print(json.dumps(line))
+    print(f"# windows={record['windows_eps']} flops/step="
+          f"{cost.get('flops')} bytes/step={cost.get('bytes')}",
+          file=sys.stderr)
 
 
 def main():
@@ -372,6 +515,8 @@ def main():
                     help="small model + few steps (CPU-friendly validation)")
     ap.add_argument("--steps", type=int, default=0)
     ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--repeats", type=int, default=0,
+                    help="timed windows (median reported); default 5, 2 smoke")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--scaling", action="store_true",
@@ -389,108 +534,79 @@ def main():
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng()
     n_chips = jax.device_count()
-    steps = args.steps or (5 if args.smoke else 100)
+    steps = args.steps or (5 if args.smoke else 50)
     batch = args.batch or (32 if args.smoke else 256)
     warmup = 2 if args.smoke else 5
+    repeats = args.repeats or (2 if args.smoke else 5)
+    per_chip = lambda eps_list: [e / max(n_chips, 1) for e in eps_list]
 
     if args.generate:
-        ups = bench_generate(batch, steps, warmup, small=args.smoke)
-        print(json.dumps({
-            "metric": "tiger_constrained_generation_users_per_sec_per_chip",
-            "value": round(ups / max(n_chips, 1), 2),
-            "unit": "users/sec/chip (beam 10, trie-constrained)",
-            "vs_baseline": 1.0,
-        }))
+        eps, _, cost = bench_generate(batch, steps if args.smoke else
+                                      min(steps, 20), warmup, repeats,
+                                      small=args.smoke)
+        summarize("tiger_constrained_generation_users_per_sec_per_chip",
+                  "users/sec/chip (beam 10, trie-constrained)",
+                  per_chip(eps), cost, {"batch": batch, "steps": steps,
+                                        "mode": "generate"})
         return
 
     if args.scaling and n_chips > 1:
-        eps1, _ = bench_tiger(batch, steps, warmup, small=args.smoke,
-                              dtype_name=args.dtype, n_devices=1)
-        epsN, loss = bench_tiger(batch * n_chips, steps, warmup,
+        eps1, _, _ = bench_tiger(batch, steps, warmup, repeats,
+                                 small=args.smoke, dtype_name=args.dtype,
+                                 n_devices=1)
+        epsN, _, _ = bench_tiger(batch * n_chips, steps, warmup, repeats,
                                  small=args.smoke, dtype_name=args.dtype)
-        efficiency = (epsN / n_chips) / eps1
+        e1, eN = float(np.median(eps1)), float(np.median(epsN))
+        efficiency = (eN / n_chips) / e1
         print(json.dumps({
             "metric": "tiger_train_scaling_efficiency",
             "value": round(efficiency, 4),
             "unit": f"per-chip throughput ratio 1->{n_chips} chips",
             "vs_baseline": round(efficiency / 0.85, 4),
         }))
-        print(f"# 1chip={eps1:.0f} {n_chips}chips={epsN:.0f} ex/s",
+        print(f"# 1chip={e1:.0f} {n_chips}chips={eN:.0f} ex/s",
               file=sys.stderr)
         return
 
     if args.model == "lcrec_decode":
         b = args.batch or (8 if args.smoke else 32)
-        ups = bench_lcrec_decode(b, steps if args.smoke else min(steps, 20),
-                                 warmup, small=args.smoke)
-        print(json.dumps({
-            "metric": "lcrec_constrained_decode_users_per_sec_per_chip",
-            "value": round(ups / max(n_chips, 1), 2),
-            "unit": "users/sec/chip (beam 10, item-trie, KV cache)",
-            "vs_baseline": 1.0,
-        }))
+        eps, _, cost = bench_lcrec_decode(
+            b, steps if args.smoke else min(steps, 10), warmup, repeats,
+            small=args.smoke)
+        summarize("lcrec_constrained_decode_users_per_sec_per_chip",
+                  "users/sec/chip (beam 10, item-trie, KV cache)",
+                  per_chip(eps), cost, {"batch": b, "steps": steps,
+                                        "mode": "decode"})
         return
 
-    if args.model == "cobra":
-        b = args.batch or (16 if args.smoke else 64)
-        eps, loss = bench_cobra(b, steps, warmup, small=args.smoke,
-                                dtype_name=args.dtype)
-        print(json.dumps({
-            "metric": "cobra_train_examples_per_sec_per_chip",
-            "value": round(eps / max(n_chips, 1), 2),
-            "unit": "examples/sec/chip",
-            "vs_baseline": round(
-                eps / max(n_chips, 1) / NOMINAL_BASELINE_EXAMPLES_PER_SEC, 4),
-        }))
-        print(f"# devices={n_chips} platform={jax.devices()[0].platform} "
-              f"batch={b} steps={steps} dtype={args.dtype} "
-              f"final_loss={loss:.3f}", file=sys.stderr)
-        return
-
-    if args.model == "rqvae":
-        b = args.batch or (128 if args.smoke else 1024)
-        eps, loss = bench_rqvae(b, steps, warmup, small=args.smoke)
-        print(json.dumps({
-            "metric": "rqvae_train_examples_per_sec_per_chip",
-            "value": round(eps / max(n_chips, 1), 2),
-            "unit": "examples/sec/chip",
-            "vs_baseline": round(
-                eps / max(n_chips, 1) / NOMINAL_BASELINE_EXAMPLES_PER_SEC, 4),
-        }))
-        print(f"# devices={n_chips} platform={jax.devices()[0].platform} "
-              f"batch={b} steps={steps} final_loss={loss:.3f}",
-              file=sys.stderr)
-        return
-
-    if args.model != "tiger":
-        b = args.batch or (32 if args.smoke else 128)
-        eps, loss = bench_idseq(args.model, b, steps, warmup,
-                                small=args.smoke, dtype_name=args.dtype)
-        print(json.dumps({
-            "metric": f"{args.model}_train_examples_per_sec_per_chip",
-            "value": round(eps / max(n_chips, 1), 2),
-            "unit": "examples/sec/chip",
-            "vs_baseline": round(
-                eps / max(n_chips, 1) / NOMINAL_BASELINE_EXAMPLES_PER_SEC, 4),
-        }))
-        print(f"# devices={n_chips} platform={jax.devices()[0].platform} "
-              f"batch={b} steps={steps} dtype={args.dtype} "
-              f"final_loss={loss:.3f}", file=sys.stderr)
-        return
-
-    eps, loss = bench_tiger(batch, steps, warmup, small=args.smoke,
-                            dtype_name=args.dtype)
-    eps_per_chip = eps / max(n_chips, 1)
-    print(json.dumps({
-        "metric": "tiger_train_examples_per_sec_per_chip",
-        "value": round(eps_per_chip, 2),
-        "unit": "examples/sec/chip",
-        "vs_baseline": round(eps_per_chip / NOMINAL_BASELINE_EXAMPLES_PER_SEC,
-                             4),
-    }))
+    bench_map = {
+        "tiger": (bench_tiger,
+                  dict(batch_size=batch, dtype_name=args.dtype)),
+        "sasrec": (lambda **kw: bench_idseq("sasrec", **kw),
+                   dict(batch_size=args.batch or (32 if args.smoke else 128),
+                        dtype_name=args.dtype)),
+        "hstu": (lambda **kw: bench_idseq("hstu", **kw),
+                 dict(batch_size=args.batch or (32 if args.smoke else 128),
+                      dtype_name=args.dtype)),
+        "rqvae": (bench_rqvae,
+                  dict(batch_size=args.batch or
+                       (128 if args.smoke else 1024))),
+        "cobra": (bench_cobra,
+                  dict(batch_size=args.batch or (16 if args.smoke else 64),
+                       dtype_name=args.dtype)),
+    }
+    fn, kw = bench_map[args.model]
+    eps, loss, cost = fn(steps=steps, warmup=warmup, repeats=repeats,
+                         small=args.smoke, **kw)
+    b = kw["batch_size"]
+    summarize(f"{args.model}_train_examples_per_sec_per_chip",
+              "examples/sec/chip", per_chip(eps), cost,
+              {"batch": b, "steps": steps,
+               "dtype": kw.get("dtype_name", "float32"),
+               "final_loss": loss,
+               "fused_ce": not os.environ.get("GENREC_TPU_NO_FUSED_CE")})
     print(f"# devices={n_chips} platform={jax.devices()[0].platform} "
-          f"batch={batch} steps={steps} dtype={args.dtype} "
-          f"final_loss={loss:.3f}", file=sys.stderr)
+          f"batch={b} steps={steps} final_loss={loss}", file=sys.stderr)
 
 
 if __name__ == "__main__":

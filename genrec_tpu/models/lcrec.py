@@ -187,7 +187,7 @@ class LCRec:
                  lora_rank: int = 0, lora_alpha: float = 16.0,
                  remat: bool = False, backbone_path: str = "",
                  rope_theta: float = 10000.0, tie_embeddings: bool = True,
-                 dtype=jnp.float32):
+                 tokenizer=None, dtype=jnp.float32):
         """``backbone_path``: a converted-Qwen2 artifact directory
         (``interop.convert_qwen2_checkpoint``). When set, architecture dims
         come from the artifact (the d_model/... args are ignored), the
@@ -218,6 +218,11 @@ class LCRec:
                     bcfg.get("pad_token_id") or 0)
             else:
                 self.tokenizer = WordTokenizer(base_vocab=base_vocab)
+        elif tokenizer is not None:
+            # bring-your-own subword tokenizer (e.g. HFTokenizerAdapter on a
+            # locally trained BPE) without a full backbone artifact
+            self.tokenizer = tokenizer
+            base_vocab = len(tokenizer)
         else:
             self.tokenizer = WordTokenizer(base_vocab=base_vocab)
         self.num_codebooks = num_codebooks

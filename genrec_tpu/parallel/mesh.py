@@ -70,8 +70,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch pytree with batch-axis sharding."""
+    """Device-put a host batch pytree with batch-axis sharding.
+
+    Under a multi-process runtime each process holds only ITS slice of the
+    global batch (the Loader is process-sharded), so the global array is
+    assembled with ``jax.make_array_from_process_local_data`` — the JAX
+    analogue of the reference's ``Accelerator(split_batches=True)`` global
+    batch semantics. Single-process keeps the plain ``device_put``.
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        put = lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+    else:
+        put = lambda x: jax.device_put(np.asarray(x), sharding)
     return jax.tree_util.tree_map(
-        lambda x: x if x is None else jax.device_put(np.asarray(x), sharding),
+        lambda x: x if x is None else put(x),
         batch, is_leaf=lambda x: x is None)

@@ -25,8 +25,11 @@ def maybe_initialize_distributed() -> None:
     ``JAX_NUM_PROCESSES``/``NUM_PROCESSES`` + process id.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    if _initialized:
         return
+    # env vars FIRST: jax.process_count() itself initialises the XLA
+    # backend, after which jax.distributed.initialize() raises — this is
+    # why the guard must not touch jax before deciding to initialise
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or \
         os.environ.get("COORDINATOR_ADDRESS")
     nproc = os.environ.get("JAX_NUM_PROCESSES") or \
@@ -36,7 +39,7 @@ def maybe_initialize_distributed() -> None:
         jax.distributed.initialize(coordinator_address=coord,
                                    num_processes=int(nproc),
                                    process_id=int(pid))
-        _initialized = True
+    _initialized = True
 
 
 def host_barrier(name: str = "barrier") -> None:
