@@ -56,11 +56,20 @@ def install_reference():
         gin_stub.constants_from_enum = configurable
         gin_stub.REQUIRED = object()
         sys.modules["gin"] = gin_stub
+    if "wandb" not in sys.modules:
+        # module-level `import wandb` in reference trainers; never used
+        # here (wandb_logging stays off) — pip package absent. A real
+        # ModuleSpec is required: accelerate probes importlib.util.find_spec
+        import importlib.machinery
+        wandb_stub = types.ModuleType("wandb")
+        wandb_stub.__spec__ = importlib.machinery.ModuleSpec("wandb", None)
+        sys.modules["wandb"] = wandb_stub
     base = "/root/reference/genrec"
     for pkg, path in [("genrec", base),
                       ("genrec.modules", os.path.join(base, "modules")),
                       ("genrec.models", os.path.join(base, "models")),
-                      ("genrec.data", os.path.join(base, "data"))]:
+                      ("genrec.data", os.path.join(base, "data")),
+                      ("genrec.trainers", os.path.join(base, "trainers"))]:
         if pkg not in sys.modules:
             m = types.ModuleType(pkg)
             m.__path__ = [path]
