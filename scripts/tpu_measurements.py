@@ -20,11 +20,19 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 MEASUREMENTS = [
-    # (name, argv, timeout_s)
+    # (name, argv, timeout_s[, env overrides])
     ("tiger_headline", [sys.executable, "bench.py"], 3600),
     ("rqvae", [sys.executable, "bench.py", "--model", "rqvae"], 3600),
     ("sasrec", [sys.executable, "bench.py", "--model", "sasrec"], 3600),
     ("hstu", [sys.executable, "bench.py", "--model", "hstu"], 3600),
+    # A/B pair for the r2 SASRec 26.6k-vs-46-54k anomaly: the naive-CE
+    # variant is the prime suspect for the low outlier
+    ("sasrec_no_fused_ce",
+     [sys.executable, "bench.py", "--model", "sasrec"], 3600,
+     {"GENREC_TPU_NO_FUSED_CE": "1"}),
+    ("hstu_no_fused_ce",
+     [sys.executable, "bench.py", "--model", "hstu"], 3600,
+     {"GENREC_TPU_NO_FUSED_CE": "1"}),
     ("cobra", [sys.executable, "bench.py", "--model", "cobra"], 3600),
     ("lcrec_decode",
      [sys.executable, "bench.py", "--model", "lcrec_decode"], 3600),
@@ -44,7 +52,9 @@ def main() -> int:
     out_path = os.path.join(ROOT, "out", "tpu_measurements.jsonl")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     failures = 0
-    for name, argv, timeout in MEASUREMENTS:
+    for entry in MEASUREMENTS:
+        name, argv, timeout = entry[:3]
+        env = dict(os.environ, **(entry[3] if len(entry) > 3 else {}))
         if args.only and name not in args.only:
             continue
         cmd = list(argv)
@@ -54,7 +64,7 @@ def main() -> int:
         t0 = time.time()
         try:
             proc = subprocess.run(cmd, cwd=ROOT, capture_output=True,
-                                  text=True, timeout=timeout)
+                                  text=True, timeout=timeout, env=env)
         except subprocess.TimeoutExpired:
             rec = {"name": name, "error": f"timeout after {timeout}s"}
             failures += 1
