@@ -38,13 +38,13 @@ import numpy as np
 # round-2 measured medians (out/tpu_measurements.jsonl @ 2fb17e8), the
 # comparison point for vs_baseline: >1 means faster than round 2.
 REFERENCE_POINTS = {
-    "tiger_train_examples_per_sec_per_chip": 19360.0,
+    "tiger_train_examples_per_sec_per_chip": 19338.0,
     "sasrec_train_examples_per_sec_per_chip": 26640.0,
     "hstu_train_examples_per_sec_per_chip": 57630.0,
     "rqvae_train_examples_per_sec_per_chip": 66300.0,
     "cobra_train_examples_per_sec_per_chip": 898.0,
-    "tiger_constrained_generation_users_per_sec_per_chip": 8100.0,
-    "lcrec_constrained_decode_users_per_sec_per_chip": 302.0,
+    "tiger_constrained_generation_users_per_sec_per_chip": 8629.0,
+    "lcrec_constrained_decode_users_per_sec_per_chip": 719.6,
 }
 
 # peak bf16 matmul FLOP/s and HBM bytes/s per device kind (public specs;

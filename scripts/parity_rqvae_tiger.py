@@ -36,6 +36,10 @@ RQVAE_EPOCHS = 2000          # 5000 in the reference config; the synthetic
 TIGER_CFG = dict(embedding_dim=64, attn_dim=96, dropout=0.1, num_heads=4,
                  n_layers=4, num_item_embeddings=256,
                  num_user_embeddings=10000, sem_id_dim=3, max_seq_len=20)
+# the reference's host-side beam merge makes its CPU eval ~O(users); a
+# smaller user count keeps the head-to-head within budget (same corpus on
+# both sides; binomial noise at 1500 eval rows ~ +-0.008)
+TIGER_USERS = 1500
 
 
 def _item_split(emb: np.ndarray):
@@ -248,7 +252,7 @@ def run_reference_tiger(corpus, sem_ids: np.ndarray, seed: int,
 
 def run_tpu_tiger(sem_ids: np.ndarray, seed: int, epochs: int) -> dict:
     from genrec_tpu.trainers.tiger_trainer import train
-    bind_tpu_corpus()
+    bind_tpu_corpus(n_users=TIGER_USERS)
     t0 = time.time()
     m = train(epochs=epochs, learning_rate=3e-4, weight_decay=0.035,
               num_warmup_steps=20,
@@ -273,7 +277,7 @@ def run_model(args) -> None:
             if args.side in ("both", "reference"):
                 append_run("rqvae", run_reference_rqvae(catalog, s, epochs))
     else:
-        _, corpus = make_shared_corpus()
+        _, corpus = make_shared_corpus(n_users=TIGER_USERS)
         sem_ids = shared_sem_ids(RQVAE_EPOCHS)
         for s in range(args.seed_base, args.seed_base + args.seeds):
             if args.side in ("both", "genrec_tpu"):

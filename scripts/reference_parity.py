@@ -76,23 +76,25 @@ def install_reference():
             sys.modules[pkg] = m
 
 
-def make_shared_corpus():
+def make_shared_corpus(**overrides):
     """The one corpus both sides consume (genrec_tpu synthetic generator)."""
     from genrec_tpu.data.synthetic import make_catalog, make_interactions
-    catalog = make_catalog(CORPUS["n_items"], 768, CORPUS["n_clusters"],
-                           CORPUS["seed"])
-    corpus = make_interactions(catalog, CORPUS["n_users"], CORPUS["min_len"],
-                               CORPUS["max_len"], seed=CORPUS["seed"] + 1)
-    corpus.num_items = CORPUS["n_items"]
+    knobs = dict(CORPUS, **overrides)
+    catalog = make_catalog(knobs["n_items"], 768, knobs["n_clusters"],
+                           knobs["seed"])
+    corpus = make_interactions(catalog, knobs["n_users"], knobs["min_len"],
+                               knobs["max_len"], seed=knobs["seed"] + 1)
+    corpus.num_items = knobs["n_items"]
     return catalog, corpus
 
 
-def bind_tpu_corpus():
+def bind_tpu_corpus(**overrides):
     """Point genrec_tpu trainers' synthetic_corpus() at the same knobs."""
     from genrec_tpu.configlib import gin
+    knobs = dict(CORPUS, **overrides)
     for k in ("n_items", "n_users", "n_clusters", "min_len", "max_len",
               "seed"):
-        gin.bind_parameter(f"synthetic_corpus.{k}", CORPUS[k])
+        gin.bind_parameter(f"synthetic_corpus.{k}", knobs[k])
 
 
 # ---------------------------------------------------------------- reference
