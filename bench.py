@@ -374,10 +374,23 @@ def bench_cobra(batch_size: int, steps: int, warmup: int, repeats: int,
     rng = np.random.default_rng(0)
     B = batch_size
     ids = jnp.asarray(rng.integers(0, K, (B, T * C)), jnp.int32)
-    toks = jnp.asarray(
-        rng.integers(1, model.encoder_vocab_size, (B, T, Lt)), jnp.int32)
+    # histories are draws from a catalog (synthetic-corpus scale), so the
+    # trainer's default unique-text dedupe applies: encode each unique
+    # batch item once, gather to positions (GENREC_TPU_NO_TEXT_DEDUPE=1
+    # for the per-position-encode A/B baseline — the pre-dedupe workload).
+    catalog_n = 2000
+    item_tokens = rng.integers(
+        1, model.encoder_vocab_size, (catalog_n, Lt)).astype(np.int32)
+    item_mat = rng.integers(0, catalog_n, (B, T))
+    if os.environ.get("GENREC_TPU_NO_TEXT_DEDUPE"):
+        toks = jnp.asarray(item_tokens[item_mat])
+        text_idx = None
+    else:
+        from genrec_tpu.data.cobra import _dedupe_rows
+        rows, idx = _dedupe_rows(item_mat, item_tokens)
+        toks, text_idx = jnp.asarray(rows), jnp.asarray(idx)
     params = model.init({"params": jax.random.PRNGKey(0)}, ids,
-                        toks)["params"]
+                        toks, text_idx=text_idx)["params"]
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
     state = TrainState.create(params, tx)
 
@@ -385,7 +398,8 @@ def bench_cobra(batch_size: int, steps: int, warmup: int, repeats: int,
     def step(state, ids, toks, rng):
         def loss_fn(p):
             out = model.apply({"params": p}, ids, toks,
-                              deterministic=False, rngs={"dropout": rng})
+                              deterministic=False, text_idx=text_idx,
+                              rngs={"dropout": rng})
             return out.loss
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return apply_updates(state, grads, tx), loss
@@ -604,7 +618,10 @@ def main():
               {"batch": b, "steps": steps,
                "dtype": kw.get("dtype_name", "float32"),
                "final_loss": loss,
-               "fused_ce": not os.environ.get("GENREC_TPU_NO_FUSED_CE")})
+               "fused_ce": not os.environ.get("GENREC_TPU_NO_FUSED_CE"),
+               **({"text_dedupe":
+                   not os.environ.get("GENREC_TPU_NO_TEXT_DEDUPE")}
+                  if args.model == "cobra" else {})})
     print(f"# devices={n_chips} platform={jax.devices()[0].platform} "
           f"batch={b} steps={steps} final_loss={loss}", file=sys.stderr)
 

@@ -111,10 +111,13 @@ def pad_batch_rows(batch, target_rows: int):
     valid = batch["valid"] if is_dict else batch.valid
     if valid is not None and len(valid) == target_rows:
         return batch
+    orig_rows = len(valid)
 
     def pad(arr):
-        if arr is None:
-            return None
+        # fields not aligned with the batch axis (e.g. COBRA's deduped
+        # (U, L) unique text rows) pass through untouched
+        if arr is None or arr.shape[0] != orig_rows:
+            return arr
         reps = np.zeros((target_rows - arr.shape[0],) + arr.shape[1:],
                         arr.dtype)
         return np.concatenate([arr, reps], axis=0)

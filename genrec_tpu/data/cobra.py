@@ -18,22 +18,52 @@ from .sequences import Sample
 
 class CobraBatch(NamedTuple):
     input_ids: np.ndarray        # (B, T*C) codes, pad_id padded
-    encoder_input_ids: np.ndarray  # (B, T, L_text) token ids, 0 padded
+    encoder_input_ids: np.ndarray  # (B, T, L_text) — or (U, L_text) deduped
     target_item: np.ndarray      # (B,) raw item id of the target
     target_sem_ids: np.ndarray   # (B, C)
     valid: np.ndarray            # (B,)
+    text_idx: np.ndarray = None  # (B, T) row into encoder_input_ids (dedupe)
+
+
+def _dedupe_rows(item_mat: np.ndarray, item_tokens: np.ndarray):
+    """(B, T) item ids (-1 = pad) → unique token rows + gather index.
+
+    The encoder is the dominant COBRA cost (O(B·T) 128-token texts per
+    step); popular items recur across the batch, so encoding each UNIQUE
+    item once and gathering back is the same math at catalog-bounded cost.
+    Rows are padded to the next power of two so jit sees a handful of
+    static bucket shapes instead of a fresh compile per batch.
+    Row 0 is the all-zero "pad text" every -1 position points at.
+    """
+    L_text = item_tokens.shape[1]
+    uniq, inv = np.unique(item_mat + 1, return_inverse=True)  # 0 = pad text
+    if uniq[0] != 0:                         # keep row 0 = pad text always
+        uniq = np.concatenate([[0], uniq])
+        inv = inv + 1
+    U = len(uniq)
+    U_pad = max(8, 1 << (U - 1).bit_length())
+    rows = np.zeros((U_pad, L_text), item_tokens.dtype)
+    rows[1:U] = item_tokens[uniq[1:] - 1]
+    return rows, inv.reshape(item_mat.shape).astype(np.int32)
 
 
 def cobra_batch(samples: Sequence[Sample], sem_ids: np.ndarray,
                 item_tokens: np.ndarray, max_items: int, pad_id: int,
-                include_target: bool) -> CobraBatch:
-    """``include_target=True`` appends the target item (teacher forcing)."""
+                include_target: bool,
+                dedupe_texts: bool = False) -> CobraBatch:
+    """``include_target=True`` appends the target item (teacher forcing).
+
+    ``dedupe_texts=True`` emits ``encoder_input_ids`` as the batch's
+    unique item-text rows plus a ``text_idx`` gather map (see
+    :func:`_dedupe_rows`); the model's ``vecs[text_idx]`` gather restores
+    the (B, T, D) layout on device.
+    """
     B = len(samples)
     C = sem_ids.shape[1]
     L_text = item_tokens.shape[1]
     T = max_items
     ids = np.full((B, T * C), pad_id, np.int32)
-    toks = np.zeros((B, T, L_text), np.int32)
+    item_mat = np.full((B, T), -1, np.int64)
     tgt_item = np.zeros((B,), np.int32)
     tgt_sem = np.zeros((B, C), np.int32)
     for r, s in enumerate(samples):
@@ -43,12 +73,19 @@ def cobra_batch(samples: Sequence[Sample], sem_ids: np.ndarray,
         items = items[-T:]
         codes = sem_ids[np.asarray(items, np.int64)]
         ids[r, :len(items) * C] = codes.reshape(-1)
-        toks[r, :len(items)] = item_tokens[np.asarray(items, np.int64)]
+        item_mat[r, :len(items)] = items
         tgt_item[r] = s.target
         tgt_sem[r] = sem_ids[s.target]
+    if dedupe_texts:
+        toks, text_idx = _dedupe_rows(item_mat, item_tokens)
+    else:
+        toks = np.where(item_mat[..., None] >= 0,
+                        item_tokens[np.maximum(item_mat, 0)], 0
+                        ).astype(np.int32)
+        text_idx = None
     return CobraBatch(input_ids=ids, encoder_input_ids=toks,
                       target_item=tgt_item, target_sem_ids=tgt_sem,
-                      valid=np.ones((B,), bool))
+                      valid=np.ones((B,), bool), text_idx=text_idx)
 
 
 @gin.configurable

@@ -76,9 +76,15 @@ class CobraDecoderBlock(nn.Module):
         H, Dh = self.num_heads, D // self.num_heads
         qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        import os
         from genrec_tpu.kernels.attention import (fused_softmax,
                                                   fused_softmax_supported)
-        if fused_softmax_supported():
+        # hardware A/B (out/tpu_measurements.jsonl 2026-08-19): at COBRA's
+        # decoder shape (L=84, d=256) the plain-XLA path measured 1103 vs
+        # 890 ex/s with the fused-softmax kernel (bad 84-row tiling +
+        # custom-call fusion boundary), so fused is opt-in here only.
+        if fused_softmax_supported() and \
+                os.environ.get("GENREC_TPU_COBRA_FUSED_ATTN"):
             # causal is batch-independent, padding per-key: the fused
             # softmax kernel applies (no (B,H,L,L) fp32 scores in HBM)
             sh = lambda t: t.reshape(B, L, H, Dh)
@@ -217,11 +223,20 @@ class Cobra(nn.Module):
 
     # -- training ----------------------------------------------------------
     def __call__(self, input_ids, encoder_input_ids,
-                 deterministic: bool = True) -> CobraOutput:
+                 deterministic: bool = True,
+                 text_idx=None) -> CobraOutput:
+        """``text_idx`` (B, T): gather map when ``encoder_input_ids`` holds
+        deduped unique text rows (U, L) — encode once per unique item, then
+        ``vecs[text_idx]`` restores (B, T, D). Identical math to encoding
+        each duplicate separately (the gather backward sums occurrence
+        grads);
+        under training dropout the duplicates share one mask draw."""
         C, V = self.n_codebooks, self.id_vocab_size
         B, L = input_ids.shape
         T = L // C
         vecs = self.encode_text(encoder_input_ids, deterministic)
+        if text_idx is not None:
+            vecs = jnp.take(vecs, text_idx, axis=0)
         h, pad = self._interleave(input_ids, vecs)
         h = self._decode(h, pad, deterministic)
 
@@ -302,10 +317,13 @@ class Cobra(nn.Module):
 
     # -- generation --------------------------------------------------------
     def generate(self, input_ids, encoder_input_ids, n_candidates: int = 10,
-                 temperature: float = 1.0) -> CobraGenerationOutput:
+                 temperature: float = 1.0,
+                 text_idx=None) -> CobraGenerationOutput:
         C, V, K = self.n_codebooks, self.id_vocab_size, n_candidates
         B, L = input_ids.shape
         vecs = self.encode_text(encoder_input_ids, deterministic=True)
+        if text_idx is not None:
+            vecs = jnp.take(vecs, text_idx, axis=0)
         T = vecs.shape[1]
 
         def run(ids, vv, n_partial):
@@ -362,11 +380,11 @@ class Cobra(nn.Module):
 def beam_fusion(model: Cobra, params, input_ids, encoder_input_ids,
                 item_dense_vecs, item_sem_ids, n_candidates: int = 10,
                 n_beam: int = 50, temperature: float = 1.0,
-                alpha: float = 0.5) -> BeamFusionOutput:
+                alpha: float = 0.5, text_idx=None) -> BeamFusionOutput:
     """Beam search + dense nearest-neighbour fusion (reference cobra.py:679-760)."""
     gen = model.apply({"params": params}, input_ids, encoder_input_ids,
                       n_candidates=n_beam, temperature=temperature,
-                      method=Cobra.generate)
+                      text_idx=text_idx, method=Cobra.generate)
     items = l2norm(jnp.asarray(item_dense_vecs, jnp.float32))
     sim = jnp.einsum("bkd,nd->bkn", gen.dense_vecs, items)
     max_sim = jnp.max(sim, axis=-1)

@@ -63,7 +63,9 @@ def train(epochs: int = 10, learning_rate: float = 1e-4,
           wandb_logging: bool = False, wandb_project: str = "",
           wandb_log_interval: int = 50, seed: int = 42, fast_rng: bool = True,
           resume_from_checkpoint: bool = False,
-          max_steps_per_epoch: int = 0, sem_ids_table=None, model_parallelism: int = 1, **unused) -> dict:
+          max_steps_per_epoch: int = 0, sem_ids_table=None,
+          model_parallelism: int = 1,
+          dedupe_texts: bool = True, **unused) -> dict:
     logger = setup_logger("cobra", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)
@@ -100,15 +102,23 @@ def train(epochs: int = 10, learning_rate: float = 1e-4,
     eval_samples = corpus.generate_samples("test")
 
     pidx, pcnt = jax.process_index(), jax.process_count()
+    # unique-text dedupe: the dominant cost is the O(B·T) text-encoder
+    # recompute; encoding each unique batch item once is the same math at
+    # catalog-bounded cost (data/cobra._dedupe_rows). Local row indices
+    # don't survive multi-process global-batch assembly, so gate on pcnt.
+    dedupe = (dedupe_texts and pcnt == 1
+              and not os.environ.get("GENREC_TPU_NO_TEXT_DEDUPE"))
     train_loader = Loader(
         train_samples, batch_size,
         partial(cobra_batch, sem_ids=sem_ids, item_tokens=item_tokens,
-                max_items=max_items, pad_id=pad_id, include_target=True),
+                max_items=max_items, pad_id=pad_id, include_target=True,
+                dedupe_texts=dedupe),
         shuffle=True, seed=seed, process_index=pidx, process_count=pcnt)
     eval_loader = Loader(
         eval_samples, eval_batch_size or batch_size,
         partial(cobra_batch, sem_ids=sem_ids, item_tokens=item_tokens,
-                max_items=max_items, pad_id=pad_id, include_target=False),
+                max_items=max_items, pad_id=pad_id, include_target=False,
+                dedupe_texts=dedupe),
         shuffle=False, process_index=pidx, process_count=pcnt)
 
     model = Cobra(encoder_n_layers=encoder_n_layers,
@@ -121,8 +131,11 @@ def train(epochs: int = 10, learning_rate: float = 1e-4,
 
     rng = jax.random.PRNGKey(seed)
     sample = next(iter(train_loader))
-    params = model.init({"params": rng}, jnp.asarray(sample.input_ids),
-                        jnp.asarray(sample.encoder_input_ids))["params"]
+    params = model.init(
+        {"params": rng}, jnp.asarray(sample.input_ids),
+        jnp.asarray(sample.encoder_input_ids),
+        text_idx=None if sample.text_idx is None
+        else jnp.asarray(sample.text_idx))["params"]
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     logger.info("model params: %.2fM", n_params / 1e6)
 
@@ -137,7 +150,7 @@ def train(epochs: int = 10, learning_rate: float = 1e-4,
     def loss_fn(params, batch, rng):
         out = model.apply({"params": params}, batch.input_ids,
                           batch.encoder_input_ids, deterministic=False,
-                          rngs={"dropout": rng})
+                          text_idx=batch.text_idx, rngs={"dropout": rng})
         loss = sparse_loss_weight * out.loss_sparse + \
             dense_loss_weight * out.loss_dense
         return loss, {
@@ -167,7 +180,9 @@ def train(epochs: int = 10, learning_rate: float = 1e-4,
                 jnp.asarray(batch.encoder_input_ids),
                 jnp.asarray(item_vecs), jnp.asarray(sem_ids),
                 n_candidates=max(EVAL_KS), n_beam=n_beam,
-                alpha=fusion_alpha)
+                alpha=fusion_alpha,
+                text_idx=None if batch.text_idx is None
+                else jnp.asarray(batch.text_idx))
             sums = topk_metric_sums(
                 jnp.asarray(batch.target_item)[:, None],
                 out.item_ids[:, :, None], EVAL_KS,

@@ -111,12 +111,14 @@ def test_training_reduces_loss(tiny_cobra):
     assert losses[-1] < losses[0]
 
 
-def test_cobra_fused_softmax_matches_fallback(tiny_cobra):
-    """COBRA decoder's fused-softmax path (pallas interpreter on CPU)
-    matches the plain XLA attention."""
+def test_cobra_fused_softmax_matches_fallback(tiny_cobra, monkeypatch):
+    """COBRA decoder's fused-softmax path (pallas interpreter on CPU,
+    opt-in via GENREC_TPU_COBRA_FUSED_ATTN after the hardware A/B made
+    plain XLA the default) matches the plain XLA attention."""
     import genrec_tpu.kernels.attention as fattn
     model, params, ids, toks = tiny_cobra
     out_plain = model.apply({"params": params}, ids, toks)
+    monkeypatch.setenv("GENREC_TPU_COBRA_FUSED_ATTN", "1")
     fattn.INTERPRET = True
     try:
         out_fused = model.apply({"params": params}, ids, toks)
@@ -124,3 +126,115 @@ def test_cobra_fused_softmax_matches_fallback(tiny_cobra):
         fattn.INTERPRET = False
     np.testing.assert_allclose(float(out_fused.loss),
                                float(out_plain.loss), rtol=2e-5)
+
+
+# ------------------------------------------------------- text dedupe path
+
+def test_dedupe_rows_gather_back_exact():
+    """Deduped unique rows + text_idx reproduce the naive (B,T,L) tokens."""
+    from genrec_tpu.data.cobra import _dedupe_rows
+    rng = np.random.default_rng(3)
+    item_tokens = rng.integers(1, 50, (30, 7)).astype(np.int32)
+    item_mat = rng.integers(0, 30, (6, 5)).astype(np.int64)
+    item_mat[0, 3:] = -1                       # padded tail
+    item_mat[2, :] = item_mat[1, :]            # fully duplicated history
+    rows, idx = _dedupe_rows(item_mat, item_tokens)
+    assert rows.shape[0] & (rows.shape[0] - 1) == 0  # pow2 bucket
+    naive = np.where(item_mat[..., None] >= 0,
+                     item_tokens[np.maximum(item_mat, 0)], 0)
+    np.testing.assert_array_equal(rows[idx], naive)
+    assert (rows[0] == 0).all()                # pad-text row
+    assert (idx[0, 3:] == 0).all()
+
+
+def test_dedupe_forward_and_grads_match_naive(tiny_cobra):
+    """Deterministic loss and grads are identical between the naive
+    per-position encode and the unique-row encode + gather."""
+    import optax
+    from genrec_tpu.data.cobra import _dedupe_rows
+    model, params, ids, _ = tiny_cobra
+    rng = np.random.default_rng(11)
+    item_tokens = rng.integers(1, 100, (10, 5)).astype(np.int32)
+    item_mat = rng.integers(0, 10, (2, 4)).astype(np.int64)
+    item_mat[1, 1] = item_mat[0, 0]            # cross-row duplicate
+    item_mat[1, 3] = -1
+    naive = np.where(item_mat[..., None] >= 0,
+                     item_tokens[np.maximum(item_mat, 0)], 0
+                     ).astype(np.int32)
+    rows, idx = _dedupe_rows(item_mat, item_tokens)
+
+    def loss(p, toks, tidx):
+        return model.apply({"params": p}, ids, jnp.asarray(toks),
+                           text_idx=tidx).loss
+
+    l_naive, g_naive = jax.value_and_grad(loss)(params, naive, None)
+    l_dd, g_dd = jax.value_and_grad(loss)(params, rows, jnp.asarray(idx))
+    np.testing.assert_allclose(float(l_naive), float(l_dd), rtol=1e-5)
+    flat_n = {str(p): a for p, a in
+              jax.tree_util.tree_flatten_with_path(g_naive)[0]}
+    flat_d = {str(p): a for p, a in
+              jax.tree_util.tree_flatten_with_path(g_dd)[0]}
+    assert flat_n.keys() == flat_d.keys()
+    for k in flat_n:
+        np.testing.assert_allclose(np.asarray(flat_n[k]),
+                                   np.asarray(flat_d[k]),
+                                   rtol=5e-4, atol=1e-5, err_msg=k)
+
+
+def test_dedupe_generate_matches_naive(tiny_cobra):
+    from genrec_tpu.data.cobra import _dedupe_rows
+    model, params, ids, _ = tiny_cobra
+    rng = np.random.default_rng(7)
+    item_tokens = rng.integers(1, 100, (10, 5)).astype(np.int32)
+    item_mat = rng.integers(0, 10, (2, 4)).astype(np.int64)
+    naive = np.where(item_mat[..., None] >= 0,
+                     item_tokens[np.maximum(item_mat, 0)], 0
+                     ).astype(np.int32)
+    rows, idx = _dedupe_rows(item_mat, item_tokens)
+    g1 = model.apply({"params": params}, ids, jnp.asarray(naive),
+                     n_candidates=4, method=Cobra.generate)
+    g2 = model.apply({"params": params}, ids, jnp.asarray(rows),
+                     n_candidates=4, text_idx=jnp.asarray(idx),
+                     method=Cobra.generate)
+    np.testing.assert_array_equal(np.asarray(g1.sem_ids),
+                                  np.asarray(g2.sem_ids))
+    np.testing.assert_allclose(np.asarray(g1.scores),
+                               np.asarray(g2.scores), rtol=1e-5, atol=1e-6)
+
+
+def test_cobra_batch_dedupe_flag():
+    from genrec_tpu.data.cobra import cobra_batch
+    from genrec_tpu.data.sequences import Sample
+    rng = np.random.default_rng(0)
+    sem = rng.integers(0, 8, (10, 3)).astype(np.int32)
+    toks = rng.integers(1, 50, (10, 5)).astype(np.int32)
+    samples = [Sample(user_id=0, history=[1, 2, 1], target=3),
+               Sample(user_id=1, history=[2, 2], target=4)]
+    b_naive = cobra_batch(samples, sem, toks, max_items=4, pad_id=24,
+                          include_target=True, dedupe_texts=False)
+    b_dd = cobra_batch(samples, sem, toks, max_items=4, pad_id=24,
+                       include_target=True, dedupe_texts=True)
+    assert b_naive.text_idx is None
+    np.testing.assert_array_equal(b_naive.input_ids, b_dd.input_ids)
+    np.testing.assert_array_equal(
+        b_dd.encoder_input_ids[b_dd.text_idx], b_naive.encoder_input_ids)
+    # 5 unique ids (1,2,3,4 + pad) => bucket 8 < B*T rows
+    assert b_dd.encoder_input_ids.shape[0] == 8
+
+
+def test_pad_batch_rows_skips_non_batch_fields():
+    """Partial-batch padding must leave the deduped (U, L) rows alone."""
+    from genrec_tpu.data.batching import pad_batch_rows
+    from genrec_tpu.data.cobra import CobraBatch
+    b = CobraBatch(input_ids=np.zeros((3, 6), np.int32),
+                   encoder_input_ids=np.ones((8, 5), np.int32),
+                   target_item=np.arange(3, dtype=np.int32),
+                   target_sem_ids=np.zeros((3, 3), np.int32),
+                   valid=np.ones((3,), bool),
+                   text_idx=np.ones((3, 2), np.int32))
+    p = pad_batch_rows(b, 4)
+    assert p.input_ids.shape == (4, 6)
+    assert p.text_idx.shape == (4, 2)
+    assert (p.text_idx[3] == 0).all()          # pad rows -> pad-text row
+    assert p.encoder_input_ids.shape == (8, 5)  # untouched
+    assert p.valid.tolist() == [True, True, True, False]
