@@ -2,9 +2,21 @@
 
 Parity target: ``/root/reference/genrec/models/rqvae.py:85-110``
 (``_sinkhorn_knopp``): entropy-regularised OT between batch rows and codebook
-columns, fixed iteration count, no gradients. The fixed-size iteration maps
-directly onto ``lax.fori_loop``; the whole routine is wrapped in
-``stop_gradient`` to mirror the reference's ``@torch.no_grad``.
+columns, fixed iteration count, no gradients.
+
+TPU-first note: the reference iterates in *kernel space* and casts the cost
+to float64 — at the RQ-VAE recipe's ``eps=0.003`` with costs normalised to
+[-1, 1], ``exp(-cost/eps)`` spans e^±333, which overflows float32 (and JAX
+x64 is disabled). The same fixed point is therefore computed in *log space*:
+the dual potentials ``f = log u``, ``g = log v`` update via ``logsumexp``
+(``u = r/(K v)``  ⇔  ``f = log r − logsumexp(logK + g)``), every
+intermediate stays bounded in fp32, and the final plan entries are ≤ 1 by
+construction. The fixed-size iteration maps onto ``lax.fori_loop``; the
+whole routine is wrapped in ``stop_gradient`` to mirror the reference's
+``@torch.no_grad``. Round-3 regression: the old fp32 kernel-space version
+silently produced inf/0 plans at eps=0.003, which is exactly the 20×
+collision-rate gap the head-to-head parity run exposed
+(out/parity/rqvae_runs.jsonl, pre-fix rows).
 """
 
 from __future__ import annotations
@@ -17,17 +29,18 @@ def sinkhorn_knopp(cost: jnp.ndarray, row_marginals: jnp.ndarray,
                    col_marginals: jnp.ndarray, eps: float = 0.05,
                    max_iter: int = 50) -> jnp.ndarray:
     """Return the (B, K) transport plan for ``cost`` with given marginals."""
-    cost = cost.astype(jnp.float32)
-    K = jnp.exp(-cost / eps)
+    log_kernel = -cost.astype(jnp.float32) / eps
+    log_r = jnp.log(row_marginals.astype(jnp.float32))
+    log_c = jnp.log(col_marginals.astype(jnp.float32))
 
-    def body(_, uv):
-        u, v = uv
-        u = row_marginals / (K @ v + 1e-8)
-        v = col_marginals / (K.T @ u + 1e-8)
-        return u, v
+    def body(_, fg):
+        f, g = fg
+        f = log_r - jax.nn.logsumexp(log_kernel + g[None, :], axis=1)
+        g = log_c - jax.nn.logsumexp(log_kernel + f[:, None], axis=0)
+        return f, g
 
-    u0 = jnp.ones_like(row_marginals, dtype=jnp.float32)
-    v0 = jnp.ones_like(col_marginals, dtype=jnp.float32)
-    u, v = jax.lax.fori_loop(0, max_iter, body, (u0, v0))
-    plan = u[:, None] * K * v[None, :]
+    f0 = jnp.zeros_like(log_r)
+    g0 = jnp.zeros_like(log_c)
+    f, g = jax.lax.fori_loop(0, max_iter, body, (f0, g0))
+    plan = jnp.exp(log_kernel + f[:, None] + g[None, :])
     return jax.lax.stop_gradient(plan)

@@ -34,6 +34,15 @@ MEASUREMENTS = [
      [sys.executable, "bench.py", "--model", "hstu"], 3600,
      {"GENREC_TPU_NO_FUSED_CE": "1"}),
     ("cobra", [sys.executable, "bench.py", "--model", "cobra"], 3600),
+    # r3 A/B: unique-text dedupe (default-on) vs the per-position encode
+    ("cobra_no_dedupe",
+     [sys.executable, "bench.py", "--model", "cobra"], 3600,
+     {"GENREC_TPU_NO_TEXT_DEDUPE": "1"}),
+    # dedupe is catalog-bounded, so its win grows with batch: B=256 puts
+    # 5376 history positions over the same 2000-item catalog
+    ("cobra_b256",
+     [sys.executable, "bench.py", "--model", "cobra", "--batch", "256"],
+     3600),
     ("lcrec_decode",
      [sys.executable, "bench.py", "--model", "lcrec_decode"], 3600),
     ("tiger_generate", [sys.executable, "bench.py", "--generate"], 3600),

@@ -94,6 +94,44 @@ def test_sinkhorn_has_no_gradient():
     np.testing.assert_allclose(np.asarray(g), 0.0)
 
 
+def test_sinkhorn_low_eps_matches_float64_oracle():
+    """Regression: at the RQ-VAE recipe's eps=0.003 with costs normalised
+    to [-1, 1], exp(-cost/eps) overflows fp32 — the log-space implementation
+    must match the reference's float64 kernel-space iteration
+    (/root/reference/genrec/models/rqvae.py:86-110) and stay balanced."""
+    rng = np.random.default_rng(5)
+    B, K = 256, 64
+    cost = rng.normal(size=(B, K))
+    cost = (cost - (cost.max() + cost.min()) / 2) / \
+        (cost.max() - (cost.max() + cost.min()) / 2 + 1e-5)
+    row = np.full((B,), 1.0 / B)
+    col = np.full((K,), 1.0 / K)
+
+    kern = np.exp(-cost.astype(np.float64) / 0.003)     # f64 oracle
+    u, v = np.ones(B), np.ones(K)
+    for _ in range(100):
+        u = row / (kern @ v + 1e-8)
+        v = col / (kern.T @ u + 1e-8)
+    oracle = u[:, None] * kern * v[None, :]
+
+    plan = np.asarray(ops.sinkhorn_knopp(
+        jnp.asarray(cost, jnp.float32), jnp.asarray(row, jnp.float32),
+        jnp.asarray(col, jnp.float32), eps=0.003, max_iter=100))
+    assert np.isfinite(plan).all()
+    # the final update is on g, so columns are exact and rows approximate
+    # (identically to the oracle at this eps/iteration budget)
+    np.testing.assert_allclose(plan.sum(0), 1.0 / K, rtol=1e-4)
+    # hard assignments: fp32 rounding in the ±(1/eps) log-domain sums can
+    # flip near-ties vs the f64 iterate, but the bulk must agree and the
+    # balance (the whole point of the sinkhorn layer) must be as good
+    agree = (plan.argmax(1) == oracle.argmax(1)).mean()
+    assert agree > 0.9, agree
+    counts = np.bincount(plan.argmax(1), minlength=K)
+    oracle_counts = np.bincount(oracle.argmax(1), minlength=K)
+    assert counts.max() <= oracle_counts.max() + 1, counts.max()
+    assert counts.max() <= int(2.5 * B / K), counts.max()
+
+
 def test_topk_match_ranks():
     actual = jnp.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]])
     top_k = jnp.array([
