@@ -80,9 +80,10 @@ class CobraDecoderBlock(nn.Module):
         from genrec_tpu.kernels.attention import (fused_softmax,
                                                   fused_softmax_supported)
         # hardware A/B (out/tpu_measurements.jsonl 2026-08-19): at COBRA's
-        # decoder shape (L=84, d=256) the plain-XLA path measured 1103 vs
-        # 890 ex/s with the fused-softmax kernel (bad 84-row tiling +
-        # custom-call fusion boundary), so fused is opt-in here only.
+        # decoder shape (L=84, d=256) the hash-softmax chain is within
+        # noise of plain XLA (890 vs 881 ex/s — the 84-row tile is too
+        # small for the recompute backward to pay off), so the simpler
+        # plain path is the default and the kernel is opt-in here.
         if fused_softmax_supported() and \
                 os.environ.get("GENREC_TPU_COBRA_FUSED_ATTN"):
             # causal is batch-independent, padding per-key: the fused

@@ -111,7 +111,7 @@ def run_reference_rqvae(catalog, seed: int, epochs: int) -> dict:
             "train_seconds": round(time.time() - t0, 1)}
 
 
-def run_tpu_rqvae(seed: int, epochs: int) -> dict:
+def run_tpu_rqvae(seed: int, epochs: int, out_suffix: str = "") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -120,7 +120,9 @@ def run_tpu_rqvae(seed: int, epochs: int) -> dict:
     from genrec_tpu.trainers.rqvae_trainer import train
 
     bind_tpu_corpus()
-    out_dir = os.path.join(OUT_DIR, f"rqvae_tpu_{seed}")
+    # out_suffix keeps re-runs (e.g. post-sinkhorn-fix "_sk2") from
+    # overwriting the artifact an earlier TIGER table was built from
+    out_dir = os.path.join(OUT_DIR, f"rqvae_tpu_{seed}{out_suffix}")
     t0 = time.time()
     res = train(epochs=epochs, dataset_type="synthetic",
                 eval_every=max(epochs // 4, 1),
