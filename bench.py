@@ -314,33 +314,43 @@ def bench_rqvae(batch_size: int, steps: int, warmup: int, repeats: int,
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
     state = TrainState.create(params, tx)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state, x, rng):
-        def loss_fn(p):
-            out = model.apply({"params": p}, x, gumbel_t=0.2, train=True,
-                              rng=rng)
-            return out.loss
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        return apply_updates(state, grads, tx), loss
+    # scan-fused multi-step (the trainer default, rqvae_trainer.py
+    # steps_per_dispatch): the step is µs of compute inside a ms-scale
+    # dispatch, so S optimizer steps run per XLA program.
+    # GENREC_TPU_RQVAE_FUSE_STEPS=1 gives the unfused A/B baseline.
+    S = int(os.environ.get("GENREC_TPU_RQVAE_FUSE_STEPS", "16"))
 
-    cost = xla_cost(step, state, emb[:B], jax.random.PRNGKey(2))
+    def loss_fn(p, x, rng):
+        out = model.apply({"params": p}, x, gumbel_t=0.2, train=True,
+                          rng=rng)
+        return out.loss, {}
+
+    from genrec_tpu.core.engine import make_fused_train_step
+    from genrec_tpu.parallel import make_mesh
+    fused = make_fused_train_step(loss_fn, tx, make_mesh())
+
+    ix = jnp.asarray(rng.integers(0, n_items, (8, S, B)))
+    cost = xla_cost(fused, state, emb[ix[0]], jax.random.PRNGKey(2))
+    # XLA cost analysis counts a scan body ONCE regardless of trip count;
+    # scale to the S steps one dispatch actually executes
+    cost = {k: (v * S if v else v) for k, v in cost.items()}
 
     key = [jax.random.PRNGKey(2)]
     st = [state]
-    loss_box = [None]
-    ix = jnp.asarray(rng.integers(0, n_items, (64, B)))
+    metrics_box = [None]
     i_box = [0]
 
     def run_steps(n):
         for _ in range(n):
             key[0], k = jax.random.split(key[0])
-            st[0], loss_box[0] = step(st[0], emb[ix[i_box[0] % 64]], k)
+            st[0], metrics_box[0] = fused(st[0], emb[ix[i_box[0] % 8]], k)
             i_box[0] += 1
 
     run_steps(warmup)
-    fetch = lambda: float(np.asarray(loss_box[0]))
+    fetch = lambda: float(np.asarray(metrics_box[0]["loss"]))
     fetch()
-    eps = timed_windows(run_steps, fetch, B, steps, repeats)
+    # one timed "step" = one dispatch of S optimizer steps on B rows each
+    eps = timed_windows(run_steps, fetch, B * S, steps, repeats)
     return eps, fetch(), cost
 
 
@@ -484,7 +494,9 @@ def summarize(metric: str, unit: str, eps_list, cost, extra: dict):
     mfu_pct = hbm_bw_pct = None
     secs_per_step = None
     if B:
-        secs_per_step = B / median
+        # cost is per compiled dispatch; a scan-fused dispatch covers
+        # dispatch_elems (= batch × fused steps) examples
+        secs_per_step = extra.get("dispatch_elems", B) / median
         if cost.get("flops") and peak_flops:
             mfu_pct = round(cost["flops"] / secs_per_step / peak_flops * 100,
                             2)
@@ -621,7 +633,12 @@ def main():
                "fused_ce": not os.environ.get("GENREC_TPU_NO_FUSED_CE"),
                **({"text_dedupe":
                    not os.environ.get("GENREC_TPU_NO_TEXT_DEDUPE")}
-                  if args.model == "cobra" else {})})
+                  if args.model == "cobra" else {}),
+               **({"fuse_steps": (S_rq :=
+                   int(os.environ.get("GENREC_TPU_RQVAE_FUSE_STEPS",
+                                      "16"))),
+                   "dispatch_elems": b * S_rq}
+                  if args.model == "rqvae" else {})})
     print(f"# devices={n_chips} platform={jax.devices()[0].platform} "
           f"batch={b} steps={steps} final_loss={loss}", file=sys.stderr)
 

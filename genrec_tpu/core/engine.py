@@ -49,6 +49,48 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0,) if donate else (), **kwargs)
 
 
+def make_fused_train_step(loss_fn: LossFn,
+                          tx: optax.GradientTransformation, mesh,
+                          donate: bool = True):
+    """Scan-fused multi-step: ``fused(state, batches, rng)`` runs one
+    optimizer step per leading-axis slice of ``batches`` inside a single
+    XLA program (``lax.scan``), returning the final state and the LAST
+    step's metrics.
+
+    This is the dispatch-amortisation path for small models: the RQ-VAE
+    step is ~60 µs of compute inside a ~7.5 ms dispatch on the remote
+    TPU, so fusing S steps per dispatch approaches an S× speedup. The
+    per-step semantics (one grad + clip + adamw update per batch slice,
+    LR schedule keyed off ``state.step``) are identical to S sequential
+    ``make_train_step`` calls given the same per-step rngs.
+    """
+    rep = replicated_sharding(mesh)
+
+    def fused(state: TrainState, batches, rng):
+        n_inner = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        rngs = jax.random.split(rng, n_inner)
+
+        def body(state, inp):
+            batch, step_rng = inp
+
+            def compute(params):
+                return loss_fn(params, batch, step_rng)
+            (loss, metrics), grads = jax.value_and_grad(
+                compute, has_aux=True)(state.params)
+            new_state = apply_updates(state, grads, tx)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return new_state, metrics
+
+        state, metrics = jax.lax.scan(body, state, (batches, rngs))
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return state, last
+
+    return jax.jit(fused, donate_argnums=(0,) if donate else (),
+                   out_shardings=(rep, rep))
+
+
 def _leaf_key(path) -> str:
     return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
                     for p in path)
@@ -208,6 +250,8 @@ class Engine:
         else:
             self.train_step = make_train_step(loss_fn, tx, mesh,
                                               sharded_params=shard_params)
+        self._loss_fn = loss_fn
+        self._fused_step = None      # built lazily by run_steps
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.timer = StepTimer()
 
@@ -223,6 +267,28 @@ class Engine:
         else:
             self.state, metrics = self.train_step(self.state, device_batch,
                                                   step_rng)
+        return metrics
+
+    def run_steps(self, batch_stack) -> Dict[str, jax.Array]:
+        """Run one optimizer step per leading-axis slice of ``batch_stack``
+        in a single dispatch (see :func:`make_fused_train_step`); returns
+        the last step's metrics. ``engine.step`` advances by the stack
+        length. Distinct stack lengths compile once each — callers should
+        stick to one or two chunk sizes."""
+        if self.frozen is not None:
+            raise NotImplementedError(
+                "run_steps does not support trainable/frozen splits")
+        if self._fused_step is None:
+            self._fused_step = make_fused_train_step(
+                self._loss_fn, self.tx, self.mesh)
+        self.rng, step_rng = jax.random.split(self.rng)
+        from genrec_tpu.parallel.mesh import batch_stack_sharding
+        device_stack = jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.asarray(x),
+                                     batch_stack_sharding(self.mesh)),
+            batch_stack)
+        self.state, metrics = self._fused_step(self.state, device_stack,
+                                               step_rng)
         return metrics
 
     @property

@@ -76,16 +76,14 @@ class CobraDecoderBlock(nn.Module):
         H, Dh = self.num_heads, D // self.num_heads
         qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        import os
         from genrec_tpu.kernels.attention import (fused_softmax,
                                                   fused_softmax_supported)
-        # hardware A/B (out/tpu_measurements.jsonl 2026-08-19): at COBRA's
-        # decoder shape (L=84, d=256) the hash-softmax chain is within
-        # noise of plain XLA (890 vs 881 ex/s — the 84-row tile is too
-        # small for the recompute backward to pay off), so the simpler
-        # plain path is the default and the kernel is opt-in here.
-        if fused_softmax_supported() and \
-                os.environ.get("GENREC_TPU_COBRA_FUSED_ATTN"):
+        # hardware A/B (out/tpu_measurements.jsonl 2026-08-19), B=64 2x2
+        # matrix: hash-softmax 890 / plain 881 without dedupe, 1116 / 1104
+        # with — the chain keeps a consistent ~1% edge at the L=84 decoder
+        # shape, so it stays default (GENREC_TPU_NO_FUSED_ATTENTION=1 for
+        # the plain-XLA A/B, as everywhere).
+        if fused_softmax_supported():
             # causal is batch-independent, padding per-key: the fused
             # softmax kernel applies (no (B,H,L,L) fp32 scores in HBM)
             sh = lambda t: t.reshape(B, L, H, Dh)

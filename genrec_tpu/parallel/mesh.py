@@ -69,6 +69,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def batch_stack_sharding(mesh: Mesh) -> NamedSharding:
+    """For a (steps, batch, ...) stack fed to a scan-fused multi-step:
+    the scan axis is replicated, the batch axis shards over data."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch pytree with batch-axis sharding.
 

@@ -88,7 +88,7 @@ def _load_item_dataset(dataset_type: str, dataset_folder: str, split: str,
 def train(epochs: int = 5000, iterations: int = 0,
           warmup_epochs: int = 50, num_warmup_steps: int = 0,
           learning_rate: float = 1e-3, weight_decay: float = 1e-4,
-          batch_size: int = 1024,
+          batch_size: int = 1024, steps_per_dispatch: int = 16,
           vae_input_dim: int = 768, vae_embed_dim: int = 32,
           vae_hidden_dims=(512, 256, 128, 64), vae_codebook_size: int = 256,
           vae_codebook_normalize: bool = False, vae_sim_vq: bool = False,
@@ -195,12 +195,29 @@ def train(epochs: int = 5000, iterations: int = 0,
     data_rng = np.random.default_rng(seed)
     timer = StepTimer()
     step = 0
+    # scan-fused multi-step: the RQ-VAE step is tiny (µs of compute in a
+    # ms-scale dispatch), so up to steps_per_dispatch optimizer steps run
+    # per XLA program (engine.run_steps). Chunks stop exactly on every
+    # log/eval/save boundary, so cadence semantics match the 1-step loop.
+    S = max(int(steps_per_dispatch), 1)
+    intervals = [i for i in (
+        wandb_log_interval, eval_every * steps_per_epoch,
+        save_model_every * steps_per_epoch) if i > 0]
+
+    def next_boundary(s: int) -> int:
+        return min([total_steps] +
+                   [(s // i + 1) * i for i in intervals])
+
+    B_eff = min(batch_size, len(train_emb))
     while step < total_steps:
-        idx = data_rng.choice(len(train_emb),
-                              size=min(batch_size, len(train_emb)),
-                              replace=False)
-        metrics = engine.run_step(jnp.asarray(train_emb[idx]))
-        timer.tick(len(idx))
+        n = max(min(S, next_boundary(step) - step), 1)
+        idx = np.stack([data_rng.choice(len(train_emb), size=B_eff,
+                                        replace=False) for _ in range(n)])
+        if n == 1:
+            metrics = engine.run_step(jnp.asarray(train_emb[idx[0]]))
+        else:
+            metrics = engine.run_steps(train_emb[idx])
+        timer.tick(n * B_eff)
         step = engine.step
         if guard.should_stop():
             logger.warning("preemption signal: checkpointing at step %d "

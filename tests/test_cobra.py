@@ -111,14 +111,12 @@ def test_training_reduces_loss(tiny_cobra):
     assert losses[-1] < losses[0]
 
 
-def test_cobra_fused_softmax_matches_fallback(tiny_cobra, monkeypatch):
-    """COBRA decoder's fused-softmax path (pallas interpreter on CPU,
-    opt-in via GENREC_TPU_COBRA_FUSED_ATTN after the hardware A/B made
-    plain XLA the default) matches the plain XLA attention."""
+def test_cobra_fused_softmax_matches_fallback(tiny_cobra):
+    """COBRA decoder's fused-softmax path (pallas interpreter on CPU)
+    matches the plain XLA attention."""
     import genrec_tpu.kernels.attention as fattn
     model, params, ids, toks = tiny_cobra
     out_plain = model.apply({"params": params}, ids, toks)
-    monkeypatch.setenv("GENREC_TPU_COBRA_FUSED_ATTN", "1")
     fattn.INTERPRET = True
     try:
         out_fused = model.apply({"params": params}, ids, toks)

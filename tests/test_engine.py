@@ -248,3 +248,46 @@ def test_compile_cache_configuration(tmp_path, monkeypatch):
     # undo the in-process config so later tests don't write cache entries
     # into the deleted tmp dir
     jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_run_steps_matches_sequential_run_step():
+    """A scan-fused S-step dispatch lands on the same params/opt-state as
+    S sequential single-step dispatches fed the same per-step rngs."""
+    rng = np.random.default_rng(7)
+    stacks = {"x": rng.normal(size=(4, 8, 4)).astype(np.float32),
+              "y": rng.normal(size=(4, 8, 4)).astype(np.float32)}
+
+    eng_seq = _make_engine(seed=3)
+    eng_fused = _make_engine(seed=3)
+
+    # sequential reference: replicate run_steps' internal rng handling
+    # (one split of engine.rng, then one subkey per inner step)
+    seq_rng, step_rng = jax.random.split(eng_seq.rng)
+    inner = jax.random.split(step_rng, 4)
+    for i in range(4):
+        batch = {k: jnp.asarray(v[i]) for k, v in stacks.items()}
+        db = batch  # single device, plain put inside train_step is fine
+        eng_seq.state, m_seq = eng_seq.train_step(eng_seq.state, db,
+                                                  inner[i])
+
+    m_fused = eng_fused.run_steps(stacks)
+    assert int(eng_fused.step) == 4
+    for a, b in zip(jax.tree_util.tree_leaves(eng_seq.state.params),
+                    jax.tree_util.tree_leaves(eng_fused.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(m_fused["loss"]), float(m_seq["loss"]),
+                               rtol=1e-6)
+
+
+def test_run_steps_rejects_frozen_split():
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+
+    def loss_fn(p, batch, rng):
+        return jnp.sum(p["w"] if "w" in p else 0.0) * 0.0, {}
+
+    eng = Engine(mesh, loss_fn, optax.adam(1e-2), params,
+                 trainable_mask={"w": True, "b": False})
+    with pytest.raises(NotImplementedError):
+        eng.run_steps({"x": np.zeros((2, 4, 4), np.float32)})
