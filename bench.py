@@ -117,53 +117,60 @@ def bench_tiger(batch_size: int, steps: int, warmup: int, repeats: int,
     L, C, K = 20, model.sem_id_dim, model.num_item_embeddings
     rng = np.random.default_rng(0)
     B = batch_size
-    batch = dict(
-        user_ids=jnp.asarray(rng.integers(0, 10000, B), jnp.int32),
-        sem_ids=jnp.asarray(rng.integers(0, K, (B, L * C)), jnp.int32),
-        token_type_ids=jnp.asarray(np.tile(np.arange(C), (B, L)), jnp.int32),
-        sem_ids_fut=jnp.asarray(rng.integers(0, K, (B, C)), jnp.int32),
-        token_type_ids_fut=jnp.asarray(np.tile(np.arange(C), (B, 1)),
+    # scan-fused dispatch (trainer default steps_per_dispatch=8);
+    # GENREC_TPU_TIGER_FUSE_STEPS=1 for the unfused A/B baseline.
+    S = int(os.environ.get("GENREC_TPU_TIGER_FUSE_STEPS", "8"))
+    stack = dict(
+        user_ids=jnp.asarray(rng.integers(0, 10000, (S, B)), jnp.int32),
+        sem_ids=jnp.asarray(rng.integers(0, K, (S, B, L * C)), jnp.int32),
+        token_type_ids=jnp.asarray(
+            np.tile(np.arange(C), (S, B, L)), jnp.int32),
+        sem_ids_fut=jnp.asarray(rng.integers(0, K, (S, B, C)), jnp.int32),
+        token_type_ids_fut=jnp.asarray(np.tile(np.arange(C), (S, B, 1)),
                                        jnp.int32),
-        seq_mask=jnp.ones((B, L * C), bool))
+        seq_mask=jnp.ones((S, B, L * C), bool))
 
     init_rng = jax.random.PRNGKey(0)
-    params = model.init({"params": init_rng}, **batch)["params"]
+    params = model.init({"params": init_rng},
+                        **{k: v[0] for k, v in stack.items()})["params"]
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
     state = TrainState.create(params, tx)
 
     devices = jax.devices()[:n_devices] if n_devices else jax.devices()
     mesh = make_mesh(data=len(devices), model=1, devices=devices)
+    from genrec_tpu.core.engine import make_fused_train_step
+    from genrec_tpu.parallel.mesh import batch_stack_sharding
+
+    def loss_fn(p, batch, rng):
+        out = model.apply({"params": p}, **batch, deterministic=False,
+                          rngs={"dropout": rng})
+        return out.loss, {}
+
+    fused = make_fused_train_step(loss_fn, tx, mesh)
     state = jax.device_put(state, replicated_sharding(mesh))
-    batch = {k: jax.device_put(v, batch_sharding(mesh))
-             for k, v in batch.items()}
+    stack = {k: jax.device_put(v, batch_stack_sharding(mesh))
+             for k, v in stack.items()}
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state, batch, rng):
-        def loss_fn(p):
-            out = model.apply({"params": p}, **batch, deterministic=False,
-                              rngs={"dropout": rng})
-            return out.loss
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        return apply_updates(state, grads, tx), loss
-
-    cost = xla_cost(step, state, batch, jax.random.PRNGKey(1))
+    cost = xla_cost(fused, state, stack, jax.random.PRNGKey(1))
+    # XLA cost analysis counts a scan body once regardless of trip count
+    cost = {k: (v * S if v else v) for k, v in cost.items()}
 
     key = [jax.random.PRNGKey(1)]
     st = [state]
-    loss_box = [None]
+    metrics_box = [None]
 
     def run_steps(n):
         for _ in range(n):
             key[0], k = jax.random.split(key[0])
-            st[0], loss_box[0] = step(st[0], batch, k)
+            st[0], metrics_box[0] = fused(st[0], stack, k)
 
     run_steps(warmup)
     # force a real value fetch: on the axon platform block_until_ready
     # returns once the execution is *enqueued*, so only a host transfer
     # proves the chain completed (and compiles the transfer program).
-    fetch = lambda: float(np.asarray(loss_box[0]))
+    fetch = lambda: float(np.asarray(metrics_box[0]["loss"]))
     fetch()
-    eps = timed_windows(run_steps, fetch, B, steps, repeats)
+    eps = timed_windows(run_steps, fetch, B * S, steps, repeats)
     return eps, fetch(), cost
 
 
@@ -193,44 +200,54 @@ def bench_idseq(model_name: str, batch_size: int, steps: int, warmup: int,
                      use_temporal_bias=True, fused_ce=fused_ce, dtype=dtype)
     rng = np.random.default_rng(0)
     B = batch_size
-    input_ids = jnp.asarray(rng.integers(1, num_items + 1, (B, L)), jnp.int32)
-    targets = jnp.asarray(rng.integers(1, num_items + 1, (B, L)), jnp.int32)
-    kwargs = {}
+    # scan-fused dispatch (the trainer default, steps_per_dispatch=8):
+    # S optimizer steps per XLA program. GENREC_TPU_IDSEQ_FUSE_STEPS=1
+    # gives the unfused A/B baseline.
+    S = int(os.environ.get("GENREC_TPU_IDSEQ_FUSE_STEPS", "8"))
+    stack = {
+        "input_ids": jnp.asarray(
+            rng.integers(1, num_items + 1, (S, B, L)), jnp.int32),
+        "targets": jnp.asarray(
+            rng.integers(1, num_items + 1, (S, B, L)), jnp.int32),
+    }
     if model_name == "hstu":
-        ts = np.sort(rng.integers(1.3e9, 1.4e9, (B, L)), axis=1)
-        kwargs["timestamps"] = jnp.asarray(ts, jnp.int32)
+        ts = np.sort(rng.integers(1.3e9, 1.4e9, (S, B, L)), axis=2)
+        stack["timestamps"] = jnp.asarray(ts, jnp.int32)
 
-    params = model.init({"params": jax.random.PRNGKey(0)}, input_ids,
-                        targets=targets, **kwargs)["params"]
+    one = {k: v[0] for k, v in stack.items()}
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        one.pop("input_ids"), **one)["params"]
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
     state = TrainState.create(params, tx)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state, input_ids, targets, rng, **kw):
-        def loss_fn(p):
-            out = model.apply({"params": p}, input_ids, targets=targets,
-                              deterministic=False, rngs={"dropout": rng},
-                              **kw)
-            return out.loss
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        return apply_updates(state, grads, tx), loss
+    def loss_fn(p, batch, rng):
+        batch = dict(batch)
+        out = model.apply({"params": p}, batch.pop("input_ids"),
+                          deterministic=False, rngs={"dropout": rng},
+                          **batch)
+        return out.loss, {}
 
-    cost = xla_cost(step, state, input_ids, targets, jax.random.PRNGKey(1),
-                    **kwargs)
+    from genrec_tpu.core.engine import make_fused_train_step
+    from genrec_tpu.parallel import make_mesh
+    fused = make_fused_train_step(loss_fn, tx, make_mesh())
+
+    cost = xla_cost(fused, state, stack, jax.random.PRNGKey(1))
+    # XLA cost analysis counts a scan body once regardless of trip count
+    cost = {k: (v * S if v else v) for k, v in cost.items()}
 
     key = [jax.random.PRNGKey(1)]
     st = [state]
-    loss_box = [None]
+    metrics_box = [None]
 
     def run_steps(n):
         for _ in range(n):
             key[0], k = jax.random.split(key[0])
-            st[0], loss_box[0] = step(st[0], input_ids, targets, k, **kwargs)
+            st[0], metrics_box[0] = fused(st[0], stack, k)
 
     run_steps(warmup)
-    fetch = lambda: float(np.asarray(loss_box[0]))
+    fetch = lambda: float(np.asarray(metrics_box[0]["loss"]))
     fetch()
-    eps = timed_windows(run_steps, fetch, B, steps, repeats)
+    eps = timed_windows(run_steps, fetch, B * S, steps, repeats)
     return eps, fetch(), cost
 
 
@@ -638,7 +655,15 @@ def main():
                    int(os.environ.get("GENREC_TPU_RQVAE_FUSE_STEPS",
                                       "16"))),
                    "dispatch_elems": b * S_rq}
-                  if args.model == "rqvae" else {})})
+                  if args.model == "rqvae" else {}),
+               **({"fuse_steps": (S_iq :=
+                   int(os.environ.get("GENREC_TPU_IDSEQ_FUSE_STEPS", "8"))),
+                   "dispatch_elems": b * S_iq}
+                  if args.model in ("sasrec", "hstu") else {}),
+               **({"fuse_steps": (S_tg :=
+                   int(os.environ.get("GENREC_TPU_TIGER_FUSE_STEPS", "8"))),
+                   "dispatch_elems": b * S_tg}
+                  if args.model == "tiger" else {})})
     print(f"# devices={n_chips} platform={jax.devices()[0].platform} "
           f"batch={b} steps={steps} final_loss={loss}", file=sys.stderr)
 

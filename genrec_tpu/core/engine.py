@@ -175,6 +175,62 @@ def device_metrics_to_host(metrics: Dict[str, jax.Array]) -> Dict[str, float]:
     return {k: float(np.asarray(v)) for k, v in metrics.items()}
 
 
+def fused_epoch_steps(engine: "Engine", loader, steps_per_dispatch: int,
+                      max_steps: int = 0, intervals=()):
+    """Drive one epoch of ``loader`` through scan-fused dispatches.
+
+    Yields ``(n_steps, metrics)`` per dispatch, where ``metrics`` is the
+    last inner step's. Chunks never cross a multiple of any interval in
+    ``intervals`` (log/eval/save cadences), so ``engine.step % interval``
+    checks behave exactly as with the 1-step loop. Hardware motivation:
+    the SASRec-scale step measured 2.3× faster fused
+    (scripts/idseq_fuse_probe.py) — per-dispatch host overhead dominates
+    ms-scale steps on the remote TPU.
+    """
+    S = max(int(steps_per_dispatch), 1)
+    if engine._shard_batch_fn is not None:
+        S = 1   # custom batch placements (e.g. ring-attention SP) need the
+                # per-step path; the stack sharding would misplace them
+    ivs = [i for i in intervals if i and i > 0]
+
+    def room() -> int:
+        s = int(engine.step)
+        n = S
+        for i in ivs:
+            n = min(n, (s // i + 1) * i - s)
+        if max_steps:
+            n = min(n, max_steps - count)
+        return max(n, 1)
+
+    count = 0
+    buf = []
+    it = iter(loader)
+    exhausted = False
+    while not exhausted:
+        if max_steps and count >= max_steps:
+            break
+        want = room()
+        while len(buf) < want:
+            try:
+                buf.append(next(it))
+            except StopIteration:
+                exhausted = True
+                break
+        if not buf:
+            break
+        n = len(buf)
+        if n == 1:
+            metrics = engine.run_step(buf[0])
+        else:
+            stack = jax.tree_util.tree_map(
+                lambda *xs: None if xs[0] is None else np.stack(xs),
+                *buf, is_leaf=lambda x: x is None)
+            metrics = engine.run_steps(stack)
+        buf = []
+        count += n
+        yield n, metrics
+
+
 class Engine:
     """Thin orchestration wrapper shared by all trainers."""
 

@@ -117,6 +117,7 @@ def train(epochs: int = 10, batch_size: int = 128,
           seed: int = 42, fast_rng: bool = True, shard_params: bool = False,
           model_parallelism: int = 1,
           resume_from_checkpoint: bool = False, max_steps_per_epoch: int = 0,
+          steps_per_dispatch: int = 8,
           **unused) -> dict:
     logger = setup_logger("sasrec", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
@@ -203,12 +204,13 @@ def train(epochs: int = 10, batch_size: int = 128,
     from genrec_tpu.core.preemption import PreemptionGuard
     guard = PreemptionGuard()
     timer = StepTimer()
+    from genrec_tpu.core.engine import fused_epoch_steps
     for epoch in range(epochs):
-        for i, batch in enumerate(train_loader):
-            if max_steps_per_epoch and i >= max_steps_per_epoch:
-                break
-            metrics = engine.run_step(batch)
-            timer.tick(batch.ids.shape[0])
+        for n, metrics in fused_epoch_steps(
+                engine, train_loader, steps_per_dispatch,
+                max_steps=max_steps_per_epoch,
+                intervals=(wandb_log_interval,)):
+            timer.tick(n * batch_size)
             if guard.should_stop():
                 logger.warning("preemption signal: checkpointing at step %d and exiting", engine.step)
                 engine.save(ckpt, config=gin.operative_config())

@@ -86,7 +86,8 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
           wandb_log_interval: int = 100, seed: int = 42, fast_rng: bool = True, shard_params: bool = False,
           resume_from_checkpoint: bool = False,
           max_steps_per_epoch: int = 0, sem_ids_table=None,
-          dataset=None, model_parallelism: int = 1, **unused) -> dict:
+          dataset=None, model_parallelism: int = 1,
+          steps_per_dispatch: int = 8, **unused) -> dict:
     logger = setup_logger("tiger", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)
@@ -204,12 +205,13 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
     guard = PreemptionGuard()
     timer = StepTimer()
     best_valid, results = -1.0, {}
+    from genrec_tpu.core.engine import fused_epoch_steps
     for epoch in range(epochs):
-        for i, batch in enumerate(train_loader):
-            if max_steps_per_epoch and i >= max_steps_per_epoch:
-                break
-            metrics = engine.run_step(batch)
-            timer.tick(batch.sem_ids.shape[0])
+        for n, metrics in fused_epoch_steps(
+                engine, train_loader, steps_per_dispatch,
+                max_steps=max_steps_per_epoch,
+                intervals=(wandb_log_interval,)):
+            timer.tick(n * batch_size)
             if engine.step % wandb_log_interval == 0:
                 host = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 host["examples_per_sec"] = timer.examples_per_sec
