@@ -291,3 +291,24 @@ def test_run_steps_rejects_frozen_split():
                  trainable_mask={"w": True, "b": False})
     with pytest.raises(NotImplementedError):
         eng.run_steps({"x": np.zeros((2, 4, 4), np.float32)})
+
+
+def test_fused_epoch_steps_boundaries_and_exhaustion():
+    """Chunks stop exactly on interval multiples and drain partial tails."""
+    from genrec_tpu.core.engine import fused_epoch_steps
+    eng = _make_engine(seed=1)
+    rng = np.random.default_rng(0)
+    loader = [{"x": rng.normal(size=(8, 4)).astype(np.float32),
+               "y": rng.normal(size=(8, 4)).astype(np.float32)}
+              for _ in range(11)]
+    sizes = [n for n, _ in fused_epoch_steps(eng, loader, 4,
+                                             intervals=(6,))]
+    # step 0 -> boundary at 6: chunks 4, 2; then 4, then tail 1
+    assert sizes == [4, 2, 4, 1], sizes
+    assert int(eng.step) == 11
+
+    # max_steps caps the epoch
+    eng2 = _make_engine(seed=1)
+    sizes2 = [n for n, _ in fused_epoch_steps(eng2, loader, 4,
+                                              max_steps=5)]
+    assert sizes2 == [4, 1], sizes2
