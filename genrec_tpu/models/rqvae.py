@@ -283,20 +283,25 @@ class RqVae(nn.Module):
 
 
 def kmeans_init_params(model: RqVae, params, x: jnp.ndarray,
-                       rng: jax.Array):
+                       rng: jax.Array, max_iters: int = 1000):
     """Explicit k-means codebook init (hoisted from the reference's lazy
     first-forward init, rqvae.py:165-168,182-183).
 
     Runs the encoder with current params, k-means each level's residual
     input, and returns params with codebooks replaced. Call once on a large
-    warmup batch before compiling the train step.
+    warmup batch before compiling the train step. ``max_iters`` defaults
+    high because the reference (modules/kmeans.py:89-95) runs Lloyd to its
+    assignment fixpoint (movement < 1e-10, i.e. exactly 0 in fp32) — the
+    early stop makes the cap cheap, and stopping at 100 iters was measured
+    to leave looser clusters (higher final collision rate).
     """
     import flax
     res = model.apply({"params": params}, x, method=RqVae.encode)
     new_params = flax.core.unfreeze(params)
     for i in range(model.n_layers):
         level_rng = jax.random.fold_in(rng, i)
-        out = kmeans(level_rng, res, k=model.codebook_size)
+        out = kmeans(level_rng, res, k=model.codebook_size,
+                     max_iters=max_iters)
         centroids = out.centroids.astype(
             new_params[f"layer_{i}"]["embedding"].dtype)
         new_params[f"layer_{i}"]["embedding"] = centroids

@@ -67,6 +67,28 @@ def test_kmeans_recovers_separated_clusters():
     np.testing.assert_array_equal(np.asarray(out.assignment), d.argmin(1))
 
 
+def test_kmeans_init_runs_lloyd_to_fixpoint():
+    """kmeans_init_params must run Lloyd to its assignment fixpoint (the
+    reference's unbounded while, modules/kmeans.py:89-95): at the returned
+    centroids, one more Lloyd update is a no-op."""
+    from genrec_tpu import ops
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(512, 8)), jnp.float32)
+    out = ops.kmeans(jax.random.PRNGKey(3), x, k=16, max_iters=1000)
+    assign = np.asarray(out.assignment)
+    centroids = np.asarray(out.centroids)
+    # recompute means under the final assignment: must equal the centroids
+    recomputed = np.stack([
+        np.asarray(x)[assign == c].mean(axis=0) if (assign == c).any()
+        else centroids[c]
+        for c in range(16)])
+    np.testing.assert_allclose(recomputed, centroids, atol=1e-5)
+    # and the assignment itself is stable under those centroids
+    d = ((np.asarray(x)[:, None, :] - centroids[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(d.argmin(1), assign)
+
+
 def test_kmeans_is_jittable():
     x = jnp.asarray(np.random.default_rng(2).normal(size=(64, 4)),
                     dtype=jnp.float32)
