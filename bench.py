@@ -47,6 +47,12 @@ REFERENCE_POINTS = {
     "lcrec_constrained_decode_users_per_sec_per_chip": 719.6,
 }
 
+# measured-optimal scan-fuse factors (the r3 fuse-factor probe on a quiet
+# host, out/tpu_measurements.jsonl: sasrec fused-32 117.0k ex/s vs fused-8
+# 98.1k; hstu fused-16 90.6k vs 81.2k; tiger fused-16 19.7k; rqvae fused-32
+# 2.15M vs fused-16 1.71M). Override per-run with the *_FUSE_STEPS env vars.
+FUSE_DEFAULTS = {"tiger": 16, "sasrec": 32, "hstu": 16, "rqvae": 32}
+
 # peak bf16 matmul FLOP/s and HBM bytes/s per device kind (public specs;
 # v5e: 197 TFLOP/s bf16, 819 GB/s HBM)
 DEVICE_PEAKS = {
@@ -117,9 +123,10 @@ def bench_tiger(batch_size: int, steps: int, warmup: int, repeats: int,
     L, C, K = 20, model.sem_id_dim, model.num_item_embeddings
     rng = np.random.default_rng(0)
     B = batch_size
-    # scan-fused dispatch (trainer default steps_per_dispatch=8);
+    # scan-fused dispatch (matches the trainer default);
     # GENREC_TPU_TIGER_FUSE_STEPS=1 for the unfused A/B baseline.
-    S = int(os.environ.get("GENREC_TPU_TIGER_FUSE_STEPS", "8"))
+    S = int(os.environ.get("GENREC_TPU_TIGER_FUSE_STEPS",
+                           str(FUSE_DEFAULTS["tiger"])))
     stack = dict(
         user_ids=jnp.asarray(rng.integers(0, 10000, (S, B)), jnp.int32),
         sem_ids=jnp.asarray(rng.integers(0, K, (S, B, L * C)), jnp.int32),
@@ -200,10 +207,11 @@ def bench_idseq(model_name: str, batch_size: int, steps: int, warmup: int,
                      use_temporal_bias=True, fused_ce=fused_ce, dtype=dtype)
     rng = np.random.default_rng(0)
     B = batch_size
-    # scan-fused dispatch (the trainer default, steps_per_dispatch=8):
-    # S optimizer steps per XLA program. GENREC_TPU_IDSEQ_FUSE_STEPS=1
-    # gives the unfused A/B baseline.
-    S = int(os.environ.get("GENREC_TPU_IDSEQ_FUSE_STEPS", "8"))
+    # scan-fused dispatch (matches the trainer defaults): S optimizer
+    # steps per XLA program. GENREC_TPU_IDSEQ_FUSE_STEPS=1 gives the
+    # unfused A/B baseline.
+    S = int(os.environ.get("GENREC_TPU_IDSEQ_FUSE_STEPS",
+                           str(FUSE_DEFAULTS[model_name])))
     stack = {
         "input_ids": jnp.asarray(
             rng.integers(1, num_items + 1, (S, B, L)), jnp.int32),
@@ -335,7 +343,8 @@ def bench_rqvae(batch_size: int, steps: int, warmup: int, repeats: int,
     # steps_per_dispatch): the step is µs of compute inside a ms-scale
     # dispatch, so S optimizer steps run per XLA program.
     # GENREC_TPU_RQVAE_FUSE_STEPS=1 gives the unfused A/B baseline.
-    S = int(os.environ.get("GENREC_TPU_RQVAE_FUSE_STEPS", "16"))
+    S = int(os.environ.get("GENREC_TPU_RQVAE_FUSE_STEPS",
+                           str(FUSE_DEFAULTS["rqvae"])))
 
     def loss_fn(p, x, rng):
         out = model.apply({"params": p}, x, gumbel_t=0.2, train=True,
@@ -544,7 +553,12 @@ def summarize(metric: str, unit: str, eps_list, cost, extra: dict):
         **extra,
     })
     os.makedirs("out", exist_ok=True)
-    with open("out/tpu_measurements.jsonl", "a") as f:
+    # CPU-platform (smoke/CI) records go to a sibling file so the official
+    # TPU evidence file stays analysis-clean.
+    on_tpu = jax.devices()[0].platform != "cpu"
+    out_file = ("out/tpu_measurements.jsonl" if on_tpu
+                else "out/cpu_measurements.jsonl")
+    with open(out_file, "a") as f:
         f.write(json.dumps(record) + "\n")
     print(json.dumps(line))
     print(f"# windows={record['windows_eps']} flops/step="
@@ -653,15 +667,17 @@ def main():
                   if args.model == "cobra" else {}),
                **({"fuse_steps": (S_rq :=
                    int(os.environ.get("GENREC_TPU_RQVAE_FUSE_STEPS",
-                                      "16"))),
+                                      str(FUSE_DEFAULTS["rqvae"])))),
                    "dispatch_elems": b * S_rq}
                   if args.model == "rqvae" else {}),
                **({"fuse_steps": (S_iq :=
-                   int(os.environ.get("GENREC_TPU_IDSEQ_FUSE_STEPS", "8"))),
+                   int(os.environ.get("GENREC_TPU_IDSEQ_FUSE_STEPS",
+                                      str(FUSE_DEFAULTS[args.model])))),
                    "dispatch_elems": b * S_iq}
                   if args.model in ("sasrec", "hstu") else {}),
                **({"fuse_steps": (S_tg :=
-                   int(os.environ.get("GENREC_TPU_TIGER_FUSE_STEPS", "8"))),
+                   int(os.environ.get("GENREC_TPU_TIGER_FUSE_STEPS",
+                                      str(FUSE_DEFAULTS["tiger"])))),
                    "dispatch_elems": b * S_tg}
                   if args.model == "tiger" else {})})
     print(f"# devices={n_chips} platform={jax.devices()[0].platform} "

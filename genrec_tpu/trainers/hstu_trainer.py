@@ -51,7 +51,7 @@ def train(epochs: int = 10, batch_size: int = 128,
           seed: int = 42, fast_rng: bool = True, shard_params: bool = False,
           model_parallelism: int = 1, sequence_parallelism: bool = False,
           resume_from_checkpoint: bool = False, max_steps_per_epoch: int = 0,
-          steps_per_dispatch: int = 8, **unused) -> dict:
+          steps_per_dispatch: int = 16, **unused) -> dict:
     logger = setup_logger("hstu", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)

@@ -88,7 +88,7 @@ def _load_item_dataset(dataset_type: str, dataset_folder: str, split: str,
 def train(epochs: int = 5000, iterations: int = 0,
           warmup_epochs: int = 50, num_warmup_steps: int = 0,
           learning_rate: float = 1e-3, weight_decay: float = 1e-4,
-          batch_size: int = 1024, steps_per_dispatch: int = 16,
+          batch_size: int = 1024, steps_per_dispatch: int = 32,
           vae_input_dim: int = 768, vae_embed_dim: int = 32,
           vae_hidden_dims=(512, 256, 128, 64), vae_codebook_size: int = 256,
           vae_codebook_normalize: bool = False, vae_sim_vq: bool = False,

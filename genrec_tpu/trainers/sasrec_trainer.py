@@ -117,7 +117,7 @@ def train(epochs: int = 10, batch_size: int = 128,
           seed: int = 42, fast_rng: bool = True, shard_params: bool = False,
           model_parallelism: int = 1,
           resume_from_checkpoint: bool = False, max_steps_per_epoch: int = 0,
-          steps_per_dispatch: int = 8,
+          steps_per_dispatch: int = 32,
           **unused) -> dict:
     logger = setup_logger("sasrec", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng

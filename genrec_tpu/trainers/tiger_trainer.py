@@ -87,7 +87,7 @@ def train(epochs: int = 100, learning_rate: float = 1e-4,
           resume_from_checkpoint: bool = False,
           max_steps_per_epoch: int = 0, sem_ids_table=None,
           dataset=None, model_parallelism: int = 1,
-          steps_per_dispatch: int = 8, **unused) -> dict:
+          steps_per_dispatch: int = 16, **unused) -> dict:
     logger = setup_logger("tiger", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)
