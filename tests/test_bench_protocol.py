@@ -58,3 +58,24 @@ def test_bench_smoke_emits_roofline_fields(tmp_path):
     assert len(last["windows_eps"]) == 2
     assert last["flops_per_step"] and last["hbm_bytes_per_step"]
     assert np.isfinite(last["final_loss"])
+
+
+def test_trainer_fuse_defaults_match_bench():
+    """The measured-optimal fuse factors (bench.FUSE_DEFAULTS, from the r3
+    fuse-factor sweep) are the single source of truth; the trainers' default
+    steps_per_dispatch must agree so `python -m ...trainer` runs at the
+    swept optimum."""
+    import inspect
+
+    sys.path.insert(0, "/root/repo")
+    from bench import FUSE_DEFAULTS
+    from genrec_tpu.trainers import (hstu_trainer, rqvae_trainer,
+                                     sasrec_trainer, tiger_trainer)
+
+    for model, trainer in (("tiger", tiger_trainer),
+                           ("sasrec", sasrec_trainer),
+                           ("hstu", hstu_trainer),
+                           ("rqvae", rqvae_trainer)):
+        default = inspect.signature(
+            trainer.train).parameters["steps_per_dispatch"].default
+        assert default == FUSE_DEFAULTS[model], (model, default)
