@@ -226,7 +226,13 @@ def run_reference_idseq(model_name: str, corpus, seed: int,
 
 # ---------------------------------------------------------------- genrec_tpu
 
-def run_tpu_idseq(model_name: str, seed: int, epochs: int = 10) -> dict:
+def run_tpu_idseq(model_name: str, seed: int, epochs: int = 10,
+                  fp32: bool = False) -> dict:
+    """``fp32=True`` disables mixed precision (amp=False), isolating the
+    bf16-activations handicap from any other source of the small
+    SASRec/HSTU quality deficit seen in the r3 parity tables (the
+    reference side always runs torch-CPU fp32). Records land with side
+    ``genrec_tpu_fp32`` so the official bf16 rows stay untouched."""
     bind_tpu_corpus()
     if model_name == "sasrec":
         from genrec_tpu.trainers.sasrec_trainer import train
@@ -241,10 +247,12 @@ def run_tpu_idseq(model_name: str, seed: int, epochs: int = 10) -> dict:
               do_eval=True, eval_every_epoch=1, eval_batch_size=256,
               save_dir_root=f"/tmp/parity_{model_name}_{seed}",
               save_every_epoch=10_000, wandb_logging=False, seed=seed,
+              amp=not fp32,
               **({"ffn_dim": 256} if model_name == "sasrec" else {}),
               **extra)
     m = {k: float(v) for k, v in m.items()}
-    return {"side": "genrec_tpu", "model": model_name, "seed": seed,
+    side = "genrec_tpu_fp32" if fp32 else "genrec_tpu"
+    return {"side": side, "model": model_name, "seed": seed,
             "epochs": epochs, "train_seconds": round(time.time() - t0, 1),
             **m}
 
@@ -272,7 +280,7 @@ def report(model_names) -> str:
              "|---|---|---|" + "---|" * len(keys)]
     for model_name in model_names:
         runs = load_runs(model_name)
-        for side in ("reference", "genrec_tpu"):
+        for side in ("reference", "genrec_tpu", "genrec_tpu_fp32"):
             rows = [r for r in runs if r["side"] == side]
             if not rows:
                 continue
@@ -298,6 +306,9 @@ def main():
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--seed-base", type=int, default=100)
     ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--fp32", action="store_true",
+                    help="genrec_tpu side with amp=False (bf16-handicap "
+                         "isolation); records tagged side=genrec_tpu_fp32")
     ap.add_argument("--report", action="store_true")
     args = ap.parse_args()
 
@@ -313,7 +324,8 @@ def main():
                 rec = run_reference_idseq(args.model, corpus, s, args.epochs)
                 append_run(args.model, rec)
             if args.side in ("both", "genrec_tpu"):
-                rec = run_tpu_idseq(args.model, s, args.epochs)
+                rec = run_tpu_idseq(args.model, s, args.epochs,
+                                    fp32=args.fp32)
                 append_run(args.model, rec)
     else:
         from scripts.parity_rqvae_tiger import run_model
