@@ -30,6 +30,13 @@ from genrec_tpu.configlib import gin
 
 NEG_INF = -1e9
 
+# Weight-init parity: the reference initializes EVERY nn.Linear and
+# nn.Embedding weight with trunc_normal(std=0.02), zero biases
+# (/root/reference/genrec/models/hstu.py:85-97). Flax Dense's default
+# (lecun_normal, std 1/sqrt(fan_in) = 0.125 at d=64) is ~6x larger and was
+# a measurable quality handicap in the r3 head-to-head parity runs.
+_REF_INIT = nn.initializers.truncated_normal(stddev=0.02)
+
 
 class HSTUOutput(NamedTuple):
     logits: Optional[jnp.ndarray]
@@ -81,20 +88,25 @@ class HSTULayer(nn.Module):
         residual = x
 
         projected = nn.silu(nn.Dense(4 * D, dtype=self.dtype,
+                                     kernel_init=_REF_INIT,
                                      name="projection")(x))
         u, v, q, k = jnp.split(projected, 4, axis=-1)
         split = lambda t: t.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
         q, k, v = split(q), split(k), split(v)
 
+        # init parity (/root/reference/genrec/models/hstu.py:85-97): the
+        # bias tables are nn.Embedding there, so trunc_normal(0.02) like
+        # every other weight — near-zero initial attention bias.
         pos_table = self.param("position_bias",
-                               nn.initializers.normal(stddev=1.0),
+                               nn.initializers.truncated_normal(stddev=0.02),
                                (self.num_position_buckets, H))
 
         if self.attn_impl is not None:
             time_table = None
             if self.use_temporal_bias and timestamps is not None:
                 time_table = self.param("temporal_bias",
-                                        nn.initializers.normal(stddev=1.0),
+                                        nn.initializers.truncated_normal(
+                                            stddev=0.02),
                                         (self.num_time_buckets, H))
             out = self.attn_impl(q, k, v, pos_table, time_table,
                                  timestamps, padding_mask,
@@ -120,7 +132,8 @@ class HSTULayer(nn.Module):
 
         if self.use_temporal_bias and time_onehot is not None:
             time_table = self.param("temporal_bias",
-                                    nn.initializers.normal(stddev=1.0),
+                                    nn.initializers.truncated_normal(
+                                        stddev=0.02),
                                     (self.num_time_buckets, H))
             # one-hot matmul instead of gather: the gather's backward is a
             # 640k-element scatter-add into the 64-row table — measured
@@ -154,10 +167,12 @@ class HSTULayer(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                          name="ffn_norm")(x).astype(self.dtype)
-        h = nn.Dense(4 * D, dtype=self.dtype, name="ffn_in")(h)
+        h = nn.Dense(4 * D, dtype=self.dtype, kernel_init=_REF_INIT,
+                     name="ffn_in")(h)
         h = nn.silu(h)
         h = HwDropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(D, dtype=self.dtype, name="ffn_out")(h)
+        h = nn.Dense(D, dtype=self.dtype, kernel_init=_REF_INIT,
+                     name="ffn_out")(h)
         h = HwDropout(self.dropout)(h, deterministic=deterministic)
         return x + h
 

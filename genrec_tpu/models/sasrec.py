@@ -31,6 +31,12 @@ from genrec_tpu.configlib import gin
 
 NEG_INF = -1e9
 
+# Weight-init parity: the reference xavier_uniform-initializes every
+# nn.Linear weight (zero bias) and both embeddings
+# (/root/reference/genrec/models/sasrec.py:64-76); Flax Dense's default is
+# lecun_normal, a different distribution and scale.
+_REF_INIT = nn.initializers.xavier_uniform()
+
 
 class SASRecOutput(NamedTuple):
     logits: Optional[jnp.ndarray]
@@ -48,9 +54,12 @@ class SASRecBlockAttention(nn.Module):
     def __call__(self, query, key_value, mask, deterministic: bool = True):
         B, L, _ = query.shape
         H, Dh = self.num_heads, self.embed_dim // self.num_heads
-        q = nn.Dense(self.embed_dim, dtype=self.dtype, name="q_proj")(query)
-        k = nn.Dense(self.embed_dim, dtype=self.dtype, name="k_proj")(key_value)
-        v = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")(key_value)
+        q = nn.Dense(self.embed_dim, dtype=self.dtype,
+                     kernel_init=_REF_INIT, name="q_proj")(query)
+        k = nn.Dense(self.embed_dim, dtype=self.dtype,
+                     kernel_init=_REF_INIT, name="k_proj")(key_value)
+        v = nn.Dense(self.embed_dim, dtype=self.dtype,
+                     kernel_init=_REF_INIT, name="v_proj")(key_value)
         split = lambda t: t.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
         q, k, v = split(q), split(k), split(v)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -76,10 +85,12 @@ class PointWiseFeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, residual, deterministic: bool = True):
-        h = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
+        h = nn.Dense(self.ffn_dim, dtype=self.dtype,
+                     kernel_init=_REF_INIT, name="fc1")(x)
         h = nn.relu(h)
         h = HwDropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(h)
+        h = nn.Dense(self.embed_dim, dtype=self.dtype,
+                     kernel_init=_REF_INIT, name="fc2")(h)
         h = HwDropout(self.dropout)(h, deterministic=deterministic)
         return h + residual
 
