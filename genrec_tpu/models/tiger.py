@@ -71,9 +71,14 @@ class Tiger(nn.Module):
         self.user_id_embedding = UserIdEmbedding(
             num_embeddings=self.num_user_embeddings,
             embeddings_dim=self.embedding_dim, dtype=self.dtype)
+        # init parity: the reference leaves these at torch's nn.Linear
+        # default (kaiming_uniform(a=√5) = U(±1/√fan_in), tiger.py:132-147)
+        from genrec_tpu.nn.transformer import TORCH_LINEAR_INIT
         self.in_proj = nn.Dense(self.attn_dim, use_bias=False,
+                                kernel_init=TORCH_LINEAR_INIT,
                                 dtype=self.dtype)
         self.in_proj_context = nn.Dense(self.attn_dim, use_bias=False,
+                                        kernel_init=TORCH_LINEAR_INIT,
                                         dtype=self.dtype)
         self.transformer = TransformerEncoderDecoder(
             d_model=self.attn_dim, nhead=self.num_heads,
@@ -81,6 +86,7 @@ class Tiger(nn.Module):
             num_decoder_layers=self.n_layers // 2,
             dim_feedforward=1024, dropout=self.dropout, dtype=self.dtype)
         self.output_head = nn.Dense(self.vocab_size, use_bias=False,
+                                    kernel_init=TORCH_LINEAR_INIT,
                                     dtype=self.dtype)
         self.drop = HwDropout(self.dropout)
 

@@ -31,6 +31,18 @@ from .normalize import RMSNorm
 
 NEG_INF = -1e9
 
+# Weight-init parity: every projection in the reference custom transformer
+# is a torch ``nn.Linear`` left at its DEFAULT init — kaiming_uniform(a=√5)
+# = U(±1/√fan_in), std 1/√(3·fan_in)
+# (``/root/reference/genrec/modules/transformer.py:67-74,177-178``). Flax
+# Dense's lecun_normal default has 3× that variance; the analogous mismatch
+# measurably cost SASRec/HSTU quality in the r3 head-to-head parity runs
+# (e543f08), so TIGER's transformer gets the exact torch-default
+# distribution: variance_scaling(1/3, fan_in, uniform) ⇒ bound
+# √(3·(1/3)/fan_in) = 1/√fan_in.
+TORCH_LINEAR_INIT = nn.initializers.variance_scaling(1 / 3, "fan_in",
+                                                     "uniform")
+
 
 def relative_position_bucket(relative_positions: jnp.ndarray,
                              num_buckets: int = 32,
@@ -109,6 +121,7 @@ class T5Attention(nn.Module):
             f"d_model={self.d_model} not divisible by n_heads={self.n_heads}")
         head_dim = self.d_model // self.n_heads
         dense = lambda feats, nm: nn.Dense(feats, use_bias=False,
+                                           kernel_init=TORCH_LINEAR_INIT,
                                            dtype=self.dtype, name=nm)
         if self.is_cross_attention:
             k = dense(self.d_model, "k")(key)
@@ -187,11 +200,11 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
-                     name="wi")(x)
+                     kernel_init=TORCH_LINEAR_INIT, name="wi")(x)
         x = nn.relu(x)
         x = HwDropout(self.dropout)(x, deterministic=deterministic)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                        name="wo")(x)
+                        kernel_init=TORCH_LINEAR_INIT, name="wo")(x)
 
 
 # --- param accessors for the fused encoder-layer kernel -------------------
@@ -207,8 +220,7 @@ class _DenseKernel(nn.Module):
 
     @nn.compact
     def __call__(self):
-        return self.param("kernel", nn.initializers.lecun_normal(),
-                          self.shape)
+        return self.param("kernel", TORCH_LINEAR_INIT, self.shape)
 
 
 class _NormWeight(nn.Module):

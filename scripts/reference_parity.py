@@ -259,7 +259,20 @@ def run_tpu_idseq(model_name: str, seed: int, epochs: int = 10,
 
 # ---------------------------------------------------------------- reporting
 
+def git_sha() -> str:
+    """Short SHA of the code that produced a record (VERDICT r3 weak #2:
+    mixed-vintage evidence rows were indistinguishable)."""
+    import subprocess
+    try:
+        return subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              cwd=REPO, capture_output=True,
+                              text=True).stdout.strip() or "unknown"
+    except OSError:
+        return "unknown"
+
+
 def append_run(model_name: str, rec: dict) -> None:
+    rec.setdefault("git_sha", git_sha())
     os.makedirs(OUT_DIR, exist_ok=True)
     with open(os.path.join(OUT_DIR, f"{model_name}_runs.jsonl"), "a") as f:
         f.write(json.dumps(rec) + "\n")

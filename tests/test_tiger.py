@@ -127,3 +127,24 @@ def test_training_reduces_loss(tiny_tiger):
         p, opt_state, loss = step(p, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8
+
+
+def test_dense_init_matches_torch_linear_default(tiny_tiger):
+    """Init parity (r4): every TIGER-path Dense kernel must follow torch's
+    nn.Linear default kaiming_uniform(a=sqrt(5)) = U(+-1/sqrt(fan_in))
+    (reference tiger.py:132-147, modules/transformer.py:67-74,177-178) --
+    flax's lecun_normal default has 3x the variance."""
+    _, params, _ = tiny_tiger
+    kernels = [(path, leaf) for path, leaf in
+               jax.tree_util.tree_leaves_with_path(params)
+               if path[-1].key == "kernel"]
+    assert kernels, "no Dense kernels found"
+    for path, w in kernels:
+        fan_in = w.shape[0]
+        bound = 1.0 / np.sqrt(fan_in)
+        name = jax.tree_util.keystr(path)
+        assert float(jnp.abs(w).max()) <= bound + 1e-6, name
+        # uniform(+-b) std = b/sqrt(3); tolerate sampling noise
+        std = float(w.std())
+        assert 0.7 * bound / np.sqrt(3) < std < 1.3 * bound / np.sqrt(3), \
+            (name, std, bound)
