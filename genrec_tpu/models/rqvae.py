@@ -283,7 +283,8 @@ class RqVae(nn.Module):
 
 
 def kmeans_init_params(model: RqVae, params, x: jnp.ndarray,
-                       rng: jax.Array, max_iters: int = 1000):
+                       rng: jax.Array, max_iters: int = 1000,
+                       init: str = "kmeans++"):
     """Explicit k-means codebook init (hoisted from the reference's lazy
     first-forward init, rqvae.py:165-168,182-183).
 
@@ -301,7 +302,7 @@ def kmeans_init_params(model: RqVae, params, x: jnp.ndarray,
     for i in range(model.n_layers):
         level_rng = jax.random.fold_in(rng, i)
         out = kmeans(level_rng, res, k=model.codebook_size,
-                     max_iters=max_iters)
+                     max_iters=max_iters, init=init)
         centroids = out.centroids.astype(
             new_params[f"layer_{i}"]["embedding"].dtype)
         new_params[f"layer_{i}"]["embedding"] = centroids

@@ -23,8 +23,12 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # init parity: the reference's MLP uses torch nn.Linear defaults
+        # (kaiming_uniform(a=√5) = U(±1/√fan_in)); see TORCH_LINEAR_INIT.
+        from genrec_tpu.nn.transformer import TORCH_LINEAR_INIT
         for i, dim in enumerate(self.hidden_dims):
             x = nn.Dense(dim, use_bias=False, dtype=self.dtype,
+                         kernel_init=TORCH_LINEAR_INIT,
                          name=f"dense_{i}")(x)
             if i < len(self.hidden_dims) - 1:
                 x = nn.silu(x)

@@ -56,17 +56,24 @@ def _kmeanspp_init(key: jax.Array, x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def kmeans(key: jax.Array, x: jnp.ndarray, k: int,
-           max_iters: int = 100, stop_threshold: float = 1e-10) -> KmeansOutput:
+           max_iters: int = 100, stop_threshold: float = 1e-10,
+           init: str = "kmeans++") -> KmeansOutput:
     """Run Lloyd's algorithm on ``x`` (B, D) with ``k`` clusters.
 
     Unlike the reference (unbounded ``while``), iterations are capped at
     ``max_iters`` (static) with the same movement-based early stop, keeping the
-    computation jit-compatible.
+    computation jit-compatible. ``init="random"`` reproduces the reference's
+    uniform sample-without-replacement seeding (``modules/kmeans.py:51-56``)
+    for collision-rate A/Bs; the default stays k-means++.
     """
     B, D = x.shape
     x = x.astype(jnp.float32)
     init_key, reseed_key = jax.random.split(key)
-    centroids0 = _kmeanspp_init(init_key, x, k)
+    if init == "random":
+        idx = jax.random.choice(init_key, B, (k,), replace=False)
+        centroids0 = x[idx]
+    else:
+        centroids0 = _kmeanspp_init(init_key, x, k)
 
     def step(carry):
         centroids, _, it, _ = carry

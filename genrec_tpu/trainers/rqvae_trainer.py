@@ -99,7 +99,8 @@ def train(epochs: int = 5000, iterations: int = 0,
           commitment_weight: float = 0.25, gumbel_temperature: float = 0.2,
           dataset_type: str = "amazon", dataset_folder: str = "dataset/amazon",
           split: str = "beauty", encoder_model_name: str = "hashed",
-          kmeans_init_batch: int = 20000, add_disambiguation: bool = False,
+          kmeans_init_batch: int = 20000, kmeans_init_mode: str = "kmeans++",
+          add_disambiguation: bool = False,
           do_eval: bool = True, eval_every: int = 50,
           save_model_every: int = 50, save_dir_root: str = "out/rqvae",
           pretrained_rqvae_path: str = "",
@@ -155,8 +156,10 @@ def train(epochs: int = 5000, iterations: int = 0,
     else:
         # k-means warmup on a megabatch (reference :218-228)
         warm = train_emb[:kmeans_init_batch]
-        params = kmeans_init_params(model, params, jnp.asarray(warm), km_rng)
-        logger.info("k-means codebook init on %d rows", len(warm))
+        params = kmeans_init_params(model, params, jnp.asarray(warm), km_rng,
+                                    init=kmeans_init_mode)
+        logger.info("k-means codebook init on %d rows (%s)", len(warm),
+                    kmeans_init_mode)
 
     # steps: epoch-based (default) or iteration-based (mutually exclusive)
     steps_per_epoch = max(len(train_emb) // batch_size, 1)
