@@ -50,6 +50,7 @@ def train(epochs: int = 10, learning_rate: float = 1e-4,
           dense_loss_weight: float = 1.0,
           id_vocab_size: int = 64, n_codebooks: int = 3, d_model: int = 256,
           encoder_n_layers: int = 1, encoder_vocab_size: int = 32128,
+          encoder_hidden_dim: int = 768, encoder_num_heads: int = 8,
           decoder_n_layers: int = 4, decoder_num_heads: int = 4,
           decoder_dropout: float = 0.1, temperature: float = 0.2,
           max_items: int = 10,
@@ -64,8 +65,9 @@ def train(epochs: int = 10, learning_rate: float = 1e-4,
           wandb_log_interval: int = 50, seed: int = 42, fast_rng: bool = True,
           resume_from_checkpoint: bool = False,
           max_steps_per_epoch: int = 0, sem_ids_table=None,
-          model_parallelism: int = 1,
-          dedupe_texts: bool = True, **unused) -> dict:
+          model_parallelism: int = 1, dedupe_texts: bool = True,
+          train_samples=None, eval_samples=None, item_tokens_table=None,
+          **unused) -> dict:
     logger = setup_logger("cobra", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)
@@ -97,9 +99,15 @@ def train(epochs: int = 10, learning_rate: float = 1e-4,
     logger.info("items=%d codes=%s", corpus.num_items, sem_ids.shape)
 
     # one sample per user (no sliding window; ref amazon_cobra.py:168-209):
-    # teacher forcing covers all positions in a single pass.
-    train_samples = corpus.generate_samples("valid")  # history sans test item
-    eval_samples = corpus.generate_samples("test")
+    # teacher forcing covers all positions in a single pass. Explicit
+    # sample lists override (head-to-head parity injects the reference's
+    # exact split semantics); item_tokens_table likewise.
+    if item_tokens_table is not None:
+        item_tokens = np.asarray(item_tokens_table, np.int32)
+    if train_samples is None:
+        train_samples = corpus.generate_samples("valid")  # sans test item
+    if eval_samples is None:
+        eval_samples = corpus.generate_samples("test")
 
     pidx, pcnt = jax.process_index(), jax.process_count()
     # unique-text dedupe: the dominant cost is the O(B·T) text-encoder
@@ -123,6 +131,8 @@ def train(epochs: int = 10, learning_rate: float = 1e-4,
 
     model = Cobra(encoder_n_layers=encoder_n_layers,
                   encoder_vocab_size=encoder_vocab_size,
+                  encoder_hidden_dim=encoder_hidden_dim,
+                  encoder_num_heads=encoder_num_heads,
                   id_vocab_size=id_vocab_size, n_codebooks=n_codebooks,
                   d_model=d_model, temperature=temperature,
                   decoder_n_layers=decoder_n_layers,

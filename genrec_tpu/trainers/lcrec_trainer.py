@@ -99,7 +99,8 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
           save_dir_root: str = "out/lcrec", save_every_epoch: int = 2,
           wandb_logging: bool = False, wandb_project: str = "",
           wandb_log_interval: int = 50, seed: int = 42, fast_rng: bool = True,
-          max_steps_per_epoch: int = 0, model_parallelism: int = 1, **unused) -> dict:
+          max_steps_per_epoch: int = 0, model_parallelism: int = 1,
+          train_samples=None, eval_samples=None, **unused) -> dict:
     logger = setup_logger("lcrec", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)
@@ -168,11 +169,17 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
                   lora_rank=lora_rank if use_lora else 0,
                   lora_alpha=lora_alpha, remat=remat,
                   backbone_path=backbone)
-    gen = LCRecTaskGenerator(corpus, sem_ids, item_titles=titles,
-                             item_descriptions=descs,
-                             max_seq_len=max_seq_len, seed=seed)
-    train_samples = gen.generate("train", max_samples=max_train_samples)
-    eval_samples = gen.generate("test", max_samples=max_eval_samples)
+    # explicit sample-list override: head-to-head parity feeds both sides
+    # the identical prompt/response strings
+    if train_samples is None or eval_samples is None:
+        gen = LCRecTaskGenerator(corpus, sem_ids, item_titles=titles,
+                                 item_descriptions=descs,
+                                 max_seq_len=max_seq_len, seed=seed)
+        if train_samples is None:
+            train_samples = gen.generate("train",
+                                         max_samples=max_train_samples)
+        if eval_samples is None:
+            eval_samples = gen.generate("test", max_samples=max_eval_samples)
     logger.info("samples: train=%d eval=%d vocab=%d", len(train_samples),
                 len(eval_samples), len(model.tokenizer))
 
