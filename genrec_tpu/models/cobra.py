@@ -376,11 +376,23 @@ class Cobra(nn.Module):
                                        deterministic=True))
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("n_candidates", "n_beam", "temperature",
+                                    "alpha"))
 def beam_fusion(model: Cobra, params, input_ids, encoder_input_ids,
                 item_dense_vecs, item_sem_ids, n_candidates: int = 10,
                 n_beam: int = 50, temperature: float = 1.0,
                 alpha: float = 0.5, text_idx=None) -> BeamFusionOutput:
-    """Beam search + dense nearest-neighbour fusion (reference cobra.py:679-760)."""
+    """Beam search + dense nearest-neighbour fusion (reference cobra.py:679-760).
+
+    jit-compiled end to end (r4): the eval path previously dispatched
+    op-by-op — each (prefix-length) decoder re-run, the (B·K, N) similarity
+    matmul and the fusion top-k now fuse into one XLA program per batch
+    shape (model/int knobs are static; varying text-dedupe row buckets just
+    add a handful of compile-cache entries)."""
     gen = model.apply({"params": params}, input_ids, encoder_input_ids,
                       n_candidates=n_beam, temperature=temperature,
                       text_idx=text_idx, method=Cobra.generate)

@@ -44,6 +44,7 @@ from scripts.reference_parity import (OUT_DIR, append_run, bind_tpu_corpus,
 from scripts.parity_rqvae_tiger import shared_sem_ids, RQVAE_EPOCHS
 
 MAX_HIST = 10           # history items kept (then +1 target appended)
+MAX_EVAL = 1500         # test rows per side (set by --max-eval)
 TEXT_LEN = 16
 TEXT_VOCAB = 4096
 EVAL_KS = (1, 5, 10)
@@ -73,7 +74,7 @@ def split_samples(corpus):
         if len(seq) >= 2:
             train.append((uid, seq[:-1][-MAX_HIST:], seq[-1]))
         test.append((uid, list(full[:-1])[-MAX_HIST:], full[-1]))
-    return train, test
+    return train, test[:MAX_EVAL]
 
 
 def item_metrics(target_items: np.ndarray, topk_items: np.ndarray) -> dict:
@@ -208,7 +209,7 @@ def run_tpu(corpus, sem_ids, tokens, seed: int, epochs: int) -> dict:
               weight_decay=RECIPE["weight_decay"],
               num_warmup_steps=RECIPE["num_warmup_steps"],
               n_beam=RECIPE["n_beam"], fusion_alpha=RECIPE["fusion_alpha"],
-              **CFG)
+              eval_batch_size=256, **CFG)
     return {"side": "genrec_tpu", "model": "cobra", "seed": seed,
             "epochs": epochs, "train_seconds": round(time.time() - t0, 1),
             **{k: float(v) for k, v in m.items()}}
@@ -221,12 +222,17 @@ def main():
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--seed-base", type=int, default=100)
     ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--max-eval", type=int, default=1500,
+                    help="cap test rows both sides (binomial noise ±0.008; "
+                         "the 20-beam fusion eval is the CPU cost driver)")
     args = ap.parse_args()
 
     from scripts.reference_parity import CORPUS
     _, corpus = make_shared_corpus()
     sem_ids = shared_sem_ids(RQVAE_EPOCHS)[:CORPUS["n_items"]]
     tokens = item_tokens()
+    global MAX_EVAL
+    MAX_EVAL = args.max_eval
     for s in range(args.seed_base, args.seed_base + args.seeds):
         if args.side in ("both", "genrec_tpu"):
             append_run("cobra", run_tpu(corpus, sem_ids, tokens, s,

@@ -245,6 +245,47 @@ def sp_ring_step(data: int, model_ax: int):
                           global_batch=B, model="llm-d256x2-L256")
 
 
+def pp_llm_step(data: int, pipe: int):
+    """GPipe mesh (dryrun _dryrun_pp_llm shape): stacked layers sharded
+    over the pipe axis, microbatched shard_map schedule."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from genrec_tpu.models.llm import CausalLM
+    from genrec_tpu.parallel.pipeline import (PipelinedLM,
+                                              make_pipeline_mesh,
+                                              pipeline_param_shardings)
+
+    n = data * pipe
+    model = CausalLM(vocab_size=4096, d_model=256, n_layers=4, n_heads=8,
+                     n_kv_heads=4, ff_dim=704, max_len=128)
+    rng = np.random.default_rng(0)
+    B, L = data * 4, 128
+    ids = jnp.asarray(rng.integers(1, 4096, (B, L)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    mesh = make_pipeline_mesh(data=data, pipe=pipe,
+                              devices=jax.devices()[:n])
+    plm = PipelinedLM(model, mesh, n_micro=2)
+    pp = plm.init_params(jax.random.PRNGKey(0), ids)
+    pp = jax.tree_util.tree_map(jax.device_put, pp,
+                                pipeline_param_shardings(mesh, pp))
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(pp)
+
+    def step(p, s):
+        loss, g = jax.value_and_grad(
+            lambda q: plm.loss(q, ids, mask, jnp.asarray(ids)))(p)
+        updates, s = tx.update(g, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    with mesh:
+        compiled = jax.jit(step, donate_argnums=(0, 1)).lower(
+            pp, opt_state).compile()
+    return compiled, dict(params=n_params(pp),
+                          mesh=f"data={data}xpipe={pipe}(gpipe)",
+                          global_batch=B, model="llm-d256x4-pp")
+
+
 def measure_dp_ratio(build) -> dict:
     """8-virtual-device DP per-chip step time vs 1 device (CPU; measures
     SPMD partitioning overhead, NOT interconnect — noted in the output)."""
@@ -279,9 +320,12 @@ def main():
         row = {"config": name, **{k: info[k] for k in
                                   ("params", "mesh", "global_batch", "model")},
                "collectives": cb}
-        # projection vs v5e ICI at the r3 measured single-chip step time
+        # projection vs v5e ICI at the r3 measured single-chip step time.
+        # Ring all-reduce of D logical bytes makes each chip SEND
+        # 2·D·(N-1)/N on the wire — the per-chip time model.
         if per_step_s:
-            t_comm = cb["total_bytes"] / jax.device_count() / V5E_ICI_GBPS
+            n = jax.device_count()
+            t_comm = (cb["total_bytes"] * 2 * (n - 1) / n) / V5E_ICI_GBPS
             row["projection_v5e"] = {
                 "t_compute_s": per_step_s,
                 "t_comm_s_per_chip": t_comm,
@@ -307,9 +351,15 @@ def main():
     record("llm-fsdp8", c, info)
     c, info = sp_ring_step(2, 4)
     record("llm-sp-ring", c, info)
+    c, info = pp_llm_step(2, 4)
+    record("llm-pp-gpipe", c, info)
 
-    ratio = measure_dp_ratio(lambda n: tiger_dp_step(n))
-    print(json.dumps({"dp_step_time_ratio": ratio}), flush=True)
+    # only meaningful on a QUIET host (virtual CPU devices oversubscribe
+    # the cores; under load the ratio measures contention, not GSPMD)
+    ratio = None
+    if "--ratio" in sys.argv:
+        ratio = measure_dp_ratio(lambda n: tiger_dp_step(n))
+        print(json.dumps({"dp_step_time_ratio": ratio}), flush=True)
 
     out = {"results": results, "dp_ratio": ratio,
            "ici_bytes_per_sec_assumed": V5E_ICI_GBPS,

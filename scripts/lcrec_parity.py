@@ -278,10 +278,15 @@ def main():
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--seed-base", type=int, default=100)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--max-eval", type=int, default=1000,
+                    help="cap eval rows (binomial noise ±0.01 at 1000; "
+                         "constrained beam-10 eval is the CPU cost driver)")
     args = ap.parse_args()
 
     sem_ids = shared_sem_ids(RQVAE_EPOCHS)
     train_ds, test_ds = shared_samples(sem_ids)
+    if args.max_eval:
+        test_ds = test_ds[:args.max_eval]
     print(f"samples: train={len(train_ds)} test={len(test_ds)}", flush=True)
     for s in range(args.seed_base, args.seed_base + args.seeds):
         if args.side in ("both", "reference"):

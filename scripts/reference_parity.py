@@ -326,7 +326,8 @@ def main():
     args = ap.parse_args()
 
     if args.report:
-        print(report(["sasrec", "hstu", "rqvae", "tiger"]))
+        print(report(["sasrec", "hstu", "rqvae", "tiger", "cobra",
+                      "lcrec"]))
         return
     assert args.model, "--model required unless --report"
 
