@@ -142,13 +142,16 @@ def bench_tiger(batch_size: int, steps: int, warmup: int, repeats: int,
         replicated_sharding
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    # MFU decomposition probe: GENREC_TPU_BENCH_DROPOUT=0 quantifies the
+    # counter-hash dropout slice of the step (rate 0 ⇒ masks compile away)
+    drop = float(os.environ.get("GENREC_TPU_BENCH_DROPOUT", "0.1"))
     if small:
-        model = Tiger(embedding_dim=64, attn_dim=96, dropout=0.1,
+        model = Tiger(embedding_dim=64, attn_dim=96, dropout=drop,
                       num_heads=4, n_layers=2, num_item_embeddings=64,
                       num_user_embeddings=10000, sem_id_dim=3, dtype=dtype)
     else:
         # paper config: config/tiger/amazon/tiger.gin
-        model = Tiger(embedding_dim=128, attn_dim=384, dropout=0.1,
+        model = Tiger(embedding_dim=128, attn_dim=384, dropout=drop,
                       num_heads=6, n_layers=8, num_item_embeddings=256,
                       num_user_embeddings=10000, sem_id_dim=3, dtype=dtype)
     L, C, K = 20, model.sem_id_dim, model.num_item_embeddings

@@ -56,7 +56,10 @@ def test_bench_smoke_emits_roofline_fields(tmp_path):
         last = json.loads(f.readlines()[-1])
     assert last["metric"] == rec["metric"]
     assert len(last["windows_eps"]) == 2
-    assert last["flops_per_step"] and last["hbm_bytes_per_step"]
+    # r4 roofline split: analytic min-traffic lower bound (feeds
+    # hbm_bw_pct) + XLA bytes-accessed kept as the labeled upper bound
+    assert last["flops_per_step"] and last["hbm_bytes_min_per_step"]
+    assert last["hbm_bytes_xla_upper_per_step"]
     assert np.isfinite(last["final_loss"])
 
 
