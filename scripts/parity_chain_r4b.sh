@@ -26,13 +26,13 @@ EOF
 fi
 
 echo "== [1] cobra head-to-head, 3 seeds/side =="
-$P scripts/cobra_parity.py --side both --seeds 3 --epochs 10 \
-    >> out/parity/cobra_run.log 2>&1
+OMP_NUM_THREADS=2 $P scripts/cobra_parity.py --side both --seeds 3 \
+    --epochs 6 >> out/parity/cobra_run.log 2>&1
 echo "cobra rc=$?"
 
 echo "== [2] lcrec head-to-head, 3 seeds/side =="
-$P scripts/lcrec_parity.py --side both --seeds 3 --epochs 3 \
-    >> out/parity/lcrec_run.log 2>&1
+OMP_NUM_THREADS=2 $P scripts/lcrec_parity.py --side both --seeds 3 \
+    --epochs 3 >> out/parity/lcrec_run.log 2>&1
 echo "lcrec rc=$?"
 
 $P scripts/reference_parity.py --report
