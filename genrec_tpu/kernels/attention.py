@@ -56,10 +56,24 @@ def _keep_threshold(rate: float) -> int:
     return min(int(rate * 4294967296.0), 4294967295)
 
 
+def _fast_hash_enabled() -> bool:
+    import os
+    return os.environ.get("GENREC_TPU_FAST_HASH", "") not in ("", "0")
+
+
 def hash_keep_mask(seed, draw_index, shape, rate: float):
     """Deterministic keep-mask: murmur3 finalizer of the global element
     counter mixed with ``seed``. Counter-based (stateless), so any kernel —
-    forward, backward, interpreter — regenerates the same mask."""
+    forward, backward, interpreter — regenerates the same mask.
+
+    ``GENREC_TPU_FAST_HASH=1`` (opt-in A/B): a 2-round finalizer — dropout
+    masks cost a measured 9% of the TIGER step
+    (GENREC_TPU_BENCH_DROPOUT=0 A/B, r4), most of it these VPU op chains
+    run twice (fwd + recompute-in-backward). Two multiply-xorshift rounds
+    keep full-width avalanche for the threshold compare; masks differ from
+    the 3-round default, so the flag must be consistent within a run
+    (which it is: both passes call this one function).
+    """
     idx = jnp.zeros(shape, jnp.uint32)
     stride = 1
     for d in reversed(range(len(shape))):
@@ -70,8 +84,9 @@ def hash_keep_mask(seed, draw_index, shape, rate: float):
     h = h ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
     h = h * jnp.uint32(0xCC9E2D51)
     h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x85EBCA6B)
-    h = h ^ (h >> 13)
+    if not _fast_hash_enabled():
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
     h = h * jnp.uint32(0xC2B2AE35)
     h = h ^ (h >> 16)
     return h >= jnp.uint32(_keep_threshold(rate))
