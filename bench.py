@@ -765,14 +765,39 @@ def main():
         return
     # default (the driver's bare `python bench.py`): the FULL official
     # suite — one JSON line per metric (VERDICT r3 weak #7), train
-    # benches first, then serving/decode paths. A failure in one bench
-    # doesn't kill the rest.
+    # benches first, then serving/decode paths. Each bench runs in its
+    # own SUBPROCESS: sequential (never two TPU clients), isolated (a
+    # wedged remote compile or a crash in one bench can't take down the
+    # rest — the in-process variant measurably wedged on axon), and each
+    # child prints its own JSON line straight through.
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
     for name in ("tiger", "sasrec", "hstu", "rqvae", "cobra",
                  "generate", "lcrec_decode"):
+        argv = [sys.executable, os.path.join(here, "bench.py")]
+        argv += (["--generate"] if name == "generate"
+                 else ["--model", name])
+        if args.smoke:
+            argv.append("--smoke")
+        if args.steps:
+            argv += ["--steps", str(args.steps)]
+        if args.repeats:
+            argv += ["--repeats", str(args.repeats)]
         try:
-            run_one(name)
-        except Exception as e:
-            print(json.dumps({"metric": name, "error": str(e)[:300]}))
+            r = subprocess.run(argv, cwd=here, timeout=3600,
+                               capture_output=True, text=True)
+            emitted = False
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+                    emitted = True
+            if not emitted:
+                print(json.dumps({"metric": name, "error":
+                                  (r.stderr or "no output")[-300:]}),
+                      flush=True)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"metric": name, "error": "timeout"}),
+                  flush=True)
 
 
 if __name__ == "__main__":
