@@ -72,9 +72,16 @@ class CobraDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, pad_mask, causal, deterministic: bool = True):
+        # init parity with torch nn.TransformerDecoderLayer (the reference
+        # CobraDecoder, cobra.py:150-224): MHA in_proj xavier_uniform +
+        # zero bias; out_proj/linear1/linear2 at torch Linear defaults
+        from genrec_tpu.nn.transformer import (TORCH_LINEAR_INIT,
+                                               XAVIER_UNIFORM_INIT,
+                                               torch_linear_bias_init)
         B, L, D = x.shape
         H, Dh = self.num_heads, D // self.num_heads
-        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
+        qkv = nn.Dense(3 * D, dtype=self.dtype,
+                       kernel_init=XAVIER_UNIFORM_INIT, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         from genrec_tpu.kernels.attention import (fused_softmax,
                                                   fused_softmax_supported)
@@ -110,14 +117,19 @@ class CobraDecoderBlock(nn.Module):
                 v, preferred_element_type=jnp.float32)
             attn = attn.astype(self.dtype).transpose(
                 0, 2, 1, 3).reshape(B, L, D)
-        attn = nn.Dense(D, dtype=self.dtype, name="attn_out")(attn)
+        attn = nn.Dense(D, dtype=self.dtype, kernel_init=TORCH_LINEAR_INIT,
+                        name="attn_out")(attn)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
             x + HwDropout(self.dropout)(attn, deterministic=deterministic)
         ).astype(self.dtype)
-        h = nn.Dense(self.ff_dim, dtype=self.dtype, name="ff1")(x)
+        h = nn.Dense(self.ff_dim, dtype=self.dtype,
+                     kernel_init=TORCH_LINEAR_INIT,
+                     bias_init=torch_linear_bias_init(D), name="ff1")(x)
         h = nn.relu(h)
         h = HwDropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(D, dtype=self.dtype, name="ff2")(h)
+        h = nn.Dense(D, dtype=self.dtype, kernel_init=TORCH_LINEAR_INIT,
+                     bias_init=torch_linear_bias_init(self.ff_dim),
+                     name="ff2")(h)
         return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
             x + HwDropout(self.dropout)(h, deterministic=deterministic)
         ).astype(self.dtype)
@@ -151,18 +163,27 @@ class Cobra(nn.Module):
             num_heads=self.encoder_num_heads,
             vocab_size=self.encoder_vocab_size, dtype=self.dtype,
             name="encoder")
+        # init parity: the reference CobraEmbedding tables are torch
+        # nn.Embedding defaults, N(0, 1) (cobra.py:21-27)
+        from genrec_tpu.nn.transformer import (TORCH_LINEAR_INIT,
+                                               torch_linear_bias_init)
+        n01 = nn.initializers.normal(stddev=1.0)
         self.id_embed = nn.Embed(self.id_vocab_size * C + 1, D,
-                                 dtype=self.dtype, name="id_embed")
-        self.type_embed = nn.Embed(2, D, dtype=self.dtype, name="type_embed")
+                                 dtype=self.dtype, embedding_init=n01,
+                                 name="id_embed")
+        self.type_embed = nn.Embed(2, D, dtype=self.dtype,
+                                   embedding_init=n01, name="type_embed")
         self.pos_embed = nn.Embed(self.max_len, D, dtype=self.dtype,
-                                  name="pos_embed")
+                                  embedding_init=n01, name="pos_embed")
         self.decoder_blocks = [
             CobraDecoderBlock(D, self.decoder_num_heads, 2048,
                               self.decoder_dropout, dtype=self.dtype,
                               name=f"dec_{i}")
             for i in range(self.decoder_n_layers)]
         self.sparse_heads = [
-            nn.Dense(self.id_vocab_size, dtype=self.dtype, name=f"head_{c}")
+            nn.Dense(self.id_vocab_size, dtype=self.dtype,
+                     kernel_init=TORCH_LINEAR_INIT,
+                     bias_init=torch_linear_bias_init(D), name=f"head_{c}")
             for c in range(C)]
 
     # -- embedding interleave (static shapes) ------------------------------

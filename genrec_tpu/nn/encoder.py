@@ -33,10 +33,18 @@ class _EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool = True):
+        # init parity with torch nn.TransformerEncoderLayer (the reference
+        # LightT5Encoder's block, encoder.py:49-58): MHA in_proj
+        # xavier_uniform + zero bias, out_proj/linear1/linear2 at torch
+        # Linear defaults (U(±1/√fan_in) kernel AND bias)
+        from genrec_tpu.nn.transformer import (TORCH_LINEAR_INIT,
+                                               XAVIER_UNIFORM_INIT,
+                                               torch_linear_bias_init)
         B, L, D = x.shape
         H = self.num_heads
         Dh = D // H
-        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
+        qkv = nn.Dense(3 * D, dtype=self.dtype,
+                       kernel_init=XAVIER_UNIFORM_INIT, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda t: t.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
         q, k, v = split(q), split(k), split(v)
@@ -47,13 +55,18 @@ class _EncoderBlock(nn.Module):
                           nn.softmax(scores, axis=-1).astype(self.dtype), v,
                           preferred_element_type=jnp.float32)
         attn = attn.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, L, D)
-        attn = nn.Dense(D, dtype=self.dtype, name="attn_out")(attn)
+        attn = nn.Dense(D, dtype=self.dtype, kernel_init=TORCH_LINEAR_INIT,
+                        name="attn_out")(attn)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x + HwDropout(
             self.dropout)(attn, deterministic=deterministic)).astype(self.dtype)
-        h = nn.Dense(self.ff_dim, dtype=self.dtype, name="ff1")(x)
+        h = nn.Dense(self.ff_dim, dtype=self.dtype,
+                     kernel_init=TORCH_LINEAR_INIT,
+                     bias_init=torch_linear_bias_init(D), name="ff1")(x)
         h = nn.relu(h)
         h = HwDropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(D, dtype=self.dtype, name="ff2")(h)
+        h = nn.Dense(D, dtype=self.dtype, kernel_init=TORCH_LINEAR_INIT,
+                     bias_init=torch_linear_bias_init(self.ff_dim),
+                     name="ff2")(h)
         return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
             x + HwDropout(self.dropout)(h, deterministic=deterministic)
         ).astype(self.dtype)
@@ -81,10 +94,17 @@ class LightTextEncoder(nn.Module):
             flat = tokens.reshape(B * T, L)
         else:
             flat = tokens
+        from genrec_tpu.nn.transformer import (TORCH_LINEAR_INIT,
+                                               torch_linear_bias_init)
         L = flat.shape[1]
+        # init parity: torch nn.Embedding defaults to N(0, 1)
+        # (reference encoder.py:46-47); flax's variance-scaled default is
+        # ~1/√hidden — the same class of gap as the TIGER Dense fix
         emb = nn.Embed(self.vocab_size, self.hidden_dim, dtype=self.dtype,
+                       embedding_init=nn.initializers.normal(stddev=1.0),
                        name="embedding")(flat)
         pos = nn.Embed(self.max_seq_len, self.hidden_dim, dtype=self.dtype,
+                       embedding_init=nn.initializers.normal(stddev=1.0),
                        name="pos_embedding")(jnp.arange(L)[None])
         x = emb + pos
         pad = flat == 0
@@ -98,6 +118,9 @@ class LightTextEncoder(nn.Module):
         pooled = (x * keep).sum(axis=1) / jnp.maximum(
             keep.sum(axis=1), 1e-9)
         out = l2norm(nn.Dense(self.output_dim, dtype=self.dtype,
+                              kernel_init=TORCH_LINEAR_INIT,
+                              bias_init=torch_linear_bias_init(
+                                  self.hidden_dim),
                               name="proj")(pooled))
         if orig_rank == 3:
             out = out.reshape(B, T, self.output_dim)

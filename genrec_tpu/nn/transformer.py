@@ -43,6 +43,21 @@ NEG_INF = -1e9
 TORCH_LINEAR_INIT = nn.initializers.variance_scaling(1 / 3, "fan_in",
                                                      "uniform")
 
+# torch nn.Linear's default BIAS init: U(±1/√fan_in). flax can't see
+# fan_in from the bias shape, so callers pass it explicitly.
+def torch_linear_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+# torch nn.MultiheadAttention._reset_parameters: xavier_uniform on the
+# fused in-projection (out_proj keeps the Linear default; both biases 0)
+XAVIER_UNIFORM_INIT = nn.initializers.xavier_uniform()
+
 
 def relative_position_bucket(relative_positions: jnp.ndarray,
                              num_buckets: int = 32,
