@@ -236,3 +236,39 @@ def test_pad_batch_rows_skips_non_batch_fields():
     assert (p.text_idx[3] == 0).all()          # pad rows -> pad-text row
     assert p.encoder_input_ids.shape == (8, 5)  # untouched
     assert p.valid.tolist() == [True, True, True, False]
+
+
+def test_cobra_init_matches_torch_defaults():
+    """Init parity (r4): embeddings N(0,1) (torch nn.Embedding default),
+    MHA in-projection xavier_uniform with zero bias, other Dense kernels
+    at torch nn.Linear default U(+-1/sqrt(fan_in)) (reference
+    cobra.py:21-27, 150-224; torch MultiheadAttention._reset_parameters)."""
+    import jax
+    import numpy as np
+    from genrec_tpu.models.cobra import Cobra
+
+    model = Cobra(encoder_n_layers=1, encoder_hidden_dim=64,
+                  encoder_num_heads=4, encoder_vocab_size=500,
+                  id_vocab_size=32, n_codebooks=3, d_model=64,
+                  decoder_n_layers=2, decoder_num_heads=4)
+    import jax.numpy as jnp
+    ids = jnp.zeros((2, 12), jnp.int32)
+    toks = jnp.ones((2, 4, 8), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids, toks)["params"]
+
+    emb = np.asarray(params["id_embed"]["embedding"])
+    assert 0.9 < emb.std() < 1.1, emb.std()            # N(0,1)
+    enc_emb = np.asarray(params["encoder"]["embedding"]["embedding"])
+    assert 0.9 < enc_emb.std() < 1.1, enc_emb.std()
+
+    qkv = np.asarray(params["dec_0"]["qkv"]["kernel"])  # xavier_uniform
+    fan_in, fan_out = qkv.shape
+    xav = np.sqrt(6.0 / (fan_in + fan_out))
+    assert np.abs(qkv).max() <= xav + 1e-6
+    assert np.abs(np.asarray(params["dec_0"]["qkv"]["bias"])).max() == 0.0
+
+    w = np.asarray(params["head_0"]["kernel"])          # torch Linear
+    bound = 1.0 / np.sqrt(w.shape[0])
+    assert np.abs(w).max() <= bound + 1e-6
+    b = np.asarray(params["head_0"]["bias"])
+    assert 0 < np.abs(b).max() <= bound + 1e-6          # torch bias uniform
