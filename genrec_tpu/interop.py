@@ -194,6 +194,85 @@ def convert_tiger_state_dict(sd: Dict) -> dict:
     return params
 
 
+def convert_cobra_state_dict(sd: Dict) -> dict:
+    """Reference ``Cobra.state_dict()`` → genrec_tpu Cobra params.
+
+    Torch layout (``/root/reference/genrec/models/cobra.py``):
+    ``encoder.*`` LightT5Encoder (nn.TransformerEncoderLayer: fused MHA
+    in_proj + out_proj, linear1/2, norm1/2), ``cobra_emb.*`` embedding
+    tables, ``decoder.decoder.layers.*`` torch TransformerDecoderLayer —
+    whose cross-attention runs over EMPTY memory, so ``multihead_attn.*``
+    weights are mathematically dead and dropped; its norm2 maps to our
+    ``norm_cross`` and norm3 to our FFN norm. ``sparse_head.{c}`` →
+    ``head_{c}``. The unused ``feat_queue`` buffers are dropped.
+    """
+    sd = _to_numpy(sd)
+
+    def ln(prefix):
+        return {"scale": _a(sd[prefix + ".weight"]),
+                "bias": _a(sd[prefix + ".bias"])}
+
+    def lin(prefix):
+        out = {"kernel": _t(sd[prefix + ".weight"])}
+        if prefix + ".bias" in sd:
+            out["bias"] = _a(sd[prefix + ".bias"])
+        return out
+
+    def enc_layer(i):
+        p = f"encoder.encoder.layers.{i}."
+        return {
+            "qkv": {"kernel": _t(sd[p + "self_attn.in_proj_weight"]),
+                    "bias": _a(sd[p + "self_attn.in_proj_bias"])},
+            "attn_out": lin(p + "self_attn.out_proj"),
+            "ff1": lin(p + "linear1"),
+            "ff2": lin(p + "linear2"),
+            "norm1": ln(p + "norm1"),
+            "norm2": ln(p + "norm2"),
+        }
+
+    def dec_layer(i):
+        p = f"decoder.decoder.layers.{i}."
+        return {
+            "qkv": {"kernel": _t(sd[p + "self_attn.in_proj_weight"]),
+                    "bias": _a(sd[p + "self_attn.in_proj_bias"])},
+            "attn_out": lin(p + "self_attn.out_proj"),
+            "ff1": lin(p + "linear1"),
+            "ff2": lin(p + "linear2"),
+            "norm1": ln(p + "norm1"),
+            "norm_cross": ln(p + "norm2"),   # empty-memory cross-attn norm
+            "norm2": ln(p + "norm3"),        # our FFN norm name
+        }
+
+    n_enc = 1 + max(int(k.split(".")[3]) for k in sd
+                    if k.startswith("encoder.encoder.layers."))
+    n_dec = 1 + max(int(k.split(".")[3]) for k in sd
+                    if k.startswith("decoder.decoder.layers."))
+    n_heads = 1 + max(int(k.split(".")[1]) for k in sd
+                      if k.startswith("sparse_head."))
+
+    encoder = {
+        "embedding": {"embedding": _a(sd["encoder.embedding.weight"])},
+        "pos_embedding": {
+            "embedding": _a(sd["encoder.pos_embedding.weight"])},
+        "final_norm": ln("encoder.layer_norm"),
+        "proj": lin("encoder.proj"),
+    }
+    for i in range(n_enc):
+        encoder[f"layer_{i}"] = enc_layer(i)
+
+    params = {
+        "encoder": encoder,
+        "id_embed": {"embedding": _a(sd["cobra_emb.id_embed.weight"])},
+        "type_embed": {"embedding": _a(sd["cobra_emb.type_embed.weight"])},
+        "pos_embed": {"embedding": _a(sd["cobra_emb.pos_embed.weight"])},
+    }
+    for i in range(n_dec):
+        params[f"dec_{i}"] = dec_layer(i)
+    for c in range(n_heads):
+        params[f"head_{c}"] = lin(f"sparse_head.{c}")
+    return params
+
+
 # ---------------------------------------------------------------------------
 # HF Qwen2 → CausalLM (the LCRec/NoteLLM backbone)
 # ---------------------------------------------------------------------------

@@ -414,3 +414,61 @@ def test_qwen2_backbone_lora_starts_identical(tmp_path):
     ol = lora.apply(pl, ids)
     np.testing.assert_allclose(np.asarray(ol.logits),
                                np.asarray(ob.logits), rtol=1e-5, atol=1e-5)
+
+
+def test_cobra_forward_matches_reference():
+    """Converted reference COBRA weights produce matching losses and
+    beam_fusion outputs (r4: the head-to-head exposed the empty-memory
+    cross-attn norm; this pins the whole forward)."""
+    import torch
+    import numpy as np
+    import jax.numpy as jnp
+    from genrec_tpu.interop import convert_cobra_state_dict
+    from genrec_tpu.models.cobra import Cobra, beam_fusion
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    from scripts.reference_parity import install_reference
+    install_reference()
+    from genrec.models.cobra import Cobra as RefCobra
+
+    torch.manual_seed(0)
+    kw = dict(encoder_n_layers=1, encoder_hidden_dim=32,
+              encoder_num_heads=2, encoder_vocab_size=120,
+              id_vocab_size=16, n_codebooks=3, d_model=32,
+              decoder_n_layers=2, decoder_num_heads=2)
+    rm = RefCobra(max_len=64, queue_size=8, temperature=0.2,
+                  encoder_type="light", **kw).eval()
+    model = Cobra(max_len=64, temperature=0.2, decoder_dropout=0.0, **kw)
+    params = convert_cobra_state_dict(rm.state_dict())
+
+    rng = np.random.default_rng(0)
+    B, T, Lt, C, V = 3, 4, 6, 3, 16
+    pad = V * C
+    ids = rng.integers(0, V, (B, T * C)).astype(np.int64)
+    ids[0, -C:] = pad                       # one row with a padded item
+    toks = rng.integers(1, 120, (B, T, Lt)).astype(np.int64)
+
+    with torch.no_grad():
+        ref = rm(input_ids=torch.as_tensor(ids),
+                 encoder_input_ids=torch.as_tensor(toks))
+    out = model.apply({"params": params}, jnp.asarray(ids),
+                      jnp.asarray(toks), deterministic=True)
+    np.testing.assert_allclose(float(out.loss_sparse),
+                               float(ref.loss_sparse), rtol=2e-4)
+    np.testing.assert_allclose(float(out.loss_dense),
+                               float(ref.loss_dense), rtol=2e-4)
+
+    # beam_fusion end to end on the same weights
+    item_sem = rng.integers(0, V, (40, C)).astype(np.int64)
+    item_vecs = rng.normal(size=(40, kw["d_model"])).astype(np.float32)
+    with torch.no_grad():
+        rg = rm.beam_fusion(
+            input_ids=torch.as_tensor(ids),
+            encoder_input_ids=torch.as_tensor(toks),
+            item_dense_vecs=torch.as_tensor(item_vecs),
+            item_sem_ids=torch.as_tensor(item_sem),
+            n_candidates=5, n_beam=8, alpha=0.5)
+    jg = beam_fusion(model, params, jnp.asarray(ids), jnp.asarray(toks),
+                     jnp.asarray(item_vecs), jnp.asarray(item_sem),
+                     n_candidates=5, n_beam=8, alpha=0.5)
+    assert np.array_equal(np.asarray(jg.item_ids), rg.item_ids.numpy())
