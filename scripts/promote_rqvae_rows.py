@@ -1,12 +1,14 @@
-"""Promote post-MLP-init-fix RQ-VAE rows to the official parity table.
+"""Promote the best-available RQ-VAE evidence to the official parity table.
 
-The r4 MLP init-parity fix (TORCH_LINEAR_INIT in nn/mlp.py) changed the
-RQ-VAE's training dynamics; the A/B probe (rqvae_ab_r4.jsonl, arm
-``mlpfix``) re-ran the full parity recipe at 3 seeds. This script archives
-the stale pre-fix genrec_tpu rows to rqvae_runs_pre_mlp_init_fix.jsonl and
-writes the mlpfix-arm rows (git-SHA-tagged) as the official genrec_tpu
-side, so the report never mixes init regimes (same convention as the
-*_pre_init_fix.jsonl and *_pre_sinkhorn_fix.jsonl archives).
+Preference order:
+1. ``rqvae_runs_e5000.jsonl`` complete (≥3 seeds/side): the FULL reference
+   recipe (5000 epochs — config/tiger/amazon/rqvae.gin). The r4 trajectory
+   analysis showed the collision rate still falling at the 2000-epoch
+   parity shortcut, so the full-recipe table is the honest comparison;
+   the old rows are archived to ``rqvae_runs_e2000.jsonl``.
+2. Otherwise: promote the post-MLP-init-fix 2000-epoch A/B rows (arm
+   ``mlpfix``) over the stale pre-fix genrec_tpu rows (archived to
+   ``rqvae_runs_pre_mlp_init_fix.jsonl``).
 """
 
 import json
@@ -16,24 +18,51 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "out", "parity")
 
-ab = [json.loads(l) for l in open(os.path.join(OUT, "rqvae_ab_r4.jsonl"))]
-promoted = []
-for r in ab:
-    if r.get("arm") == "mlpfix":
-        row = {k: v for k, v in r.items() if k not in ("arm", "kmeans_init")}
-        promoted.append(row)
-if len(promoted) < 3:
-    sys.exit(f"only {len(promoted)} mlpfix rows - wait for the A/B queue")
 
-path = os.path.join(OUT, "rqvae_runs.jsonl")
-rows = [json.loads(l) for l in open(path)]
-keep = [r for r in rows if r["side"] != "genrec_tpu"]
-old = [r for r in rows if r["side"] == "genrec_tpu"]
-with open(os.path.join(OUT, "rqvae_runs_pre_mlp_init_fix.jsonl"), "a") as f:
-    for r in old:
-        f.write(json.dumps(r) + "\n")
-with open(path, "w") as f:
-    for r in keep + promoted:
-        f.write(json.dumps(r) + "\n")
-print(f"archived {len(old)} pre-fix rows, promoted {len(promoted)} "
-      f"mlpfix rows ({[r['seed'] for r in promoted]})")
+def load(name):
+    p = os.path.join(OUT, name)
+    return [json.loads(l) for l in open(p)] if os.path.exists(p) else []
+
+
+def write(name, rows):
+    with open(os.path.join(OUT, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def append(name, rows):
+    with open(os.path.join(OUT, name), "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def main():
+    e5000 = load("rqvae_runs_e5000.jsonl")
+    sides = {s: [r for r in e5000 if r["side"] == s]
+             for s in ("genrec_tpu", "reference")}
+    if all(len(v) >= 3 for v in sides.values()):
+        old = load("rqvae_runs.jsonl")
+        append("rqvae_runs_e2000.jsonl", old)
+        write("rqvae_runs.jsonl", e5000)
+        print(f"official table = FULL 5000-epoch recipe "
+              f"({len(e5000)} rows); {len(old)} 2000-epoch rows archived")
+        return
+
+    ab = load("rqvae_ab_r4.jsonl")
+    promoted = [{k: v for k, v in r.items()
+                 if k not in ("arm", "kmeans_init")}
+                for r in ab if r.get("arm") == "mlpfix"]
+    if len(promoted) < 3:
+        sys.exit(f"neither e5000 ({ {k: len(v) for k, v in sides.items()} }) "
+                 f"nor mlpfix ({len(promoted)}) complete - wait for queues")
+    rows = load("rqvae_runs.jsonl")
+    keep = [r for r in rows if r["side"] != "genrec_tpu"]
+    old = [r for r in rows if r["side"] == "genrec_tpu"]
+    append("rqvae_runs_pre_mlp_init_fix.jsonl", old)
+    write("rqvae_runs.jsonl", keep + promoted)
+    print(f"archived {len(old)} pre-fix rows, promoted {len(promoted)} "
+          f"mlpfix rows")
+
+
+if __name__ == "__main__":
+    main()
