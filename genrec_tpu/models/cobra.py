@@ -90,6 +90,9 @@ class CobraDecoderBlock(nn.Module):
         # with — the chain keeps a consistent ~1% edge at the L=84 decoder
         # shape, so it stays default (GENREC_TPU_NO_FUSED_ATTENTION=1 for
         # the plain-XLA A/B, as everywhere).
+        # torch TransformerDecoderLayer passes its dropout into MHA: the
+        # attention WEIGHTS are dropped during training (parity, r4)
+        attn_rate = 0.0 if deterministic else self.dropout
         if fused_softmax_supported():
             # causal is batch-independent, padding per-key: the fused
             # softmax kernel applies (no (B,H,L,L) fp32 scores in HBM)
@@ -99,7 +102,12 @@ class CobraDecoderBlock(nn.Module):
                 jnp.where(causal, -1e9, 0.0)[None].astype(jnp.float32),
                 (H, L, L))
             kpad = jnp.where(pad_mask, -1e9, 0.0).astype(jnp.float32)
-            p = fused_softmax(s_raw, bias, kpad, 0, Dh ** -0.5)
+            seed = 0
+            if attn_rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (),
+                                          0, 2 ** 31 - 1)
+            p = fused_softmax(s_raw, bias, kpad, seed, Dh ** -0.5,
+                              rate=attn_rate)
             attn = jnp.einsum("bhqk,bkhd->bqhd", p.astype(self.dtype),
                               sh(v), preferred_element_type=jnp.float32)
             attn = attn.astype(self.dtype).reshape(B, L, D)
@@ -111,10 +119,11 @@ class CobraDecoderBlock(nn.Module):
                 preferred_element_type=jnp.float32) * (Dh ** -0.5)
             scores = jnp.where(causal[None, None], -1e9, scores)
             scores = jnp.where(pad_mask[:, None, None, :], -1e9, scores)
-            attn = jnp.einsum(
-                "bhqk,bhkd->bhqd",
-                jax.nn.softmax(scores, axis=-1).astype(self.dtype),
-                v, preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            probs = HwDropout(self.dropout)(probs,
+                                            deterministic=deterministic)
+            attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                              preferred_element_type=jnp.float32)
             attn = attn.astype(self.dtype).transpose(
                 0, 2, 1, 3).reshape(B, L, D)
         attn = nn.Dense(D, dtype=self.dtype, kernel_init=TORCH_LINEAR_INIT,

@@ -51,8 +51,12 @@ class _EncoderBlock(nn.Module):
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * (Dh ** -0.5)
         scores = jnp.where(pad_mask[:, None, None, :], NEG_INF, scores)
-        attn = jnp.einsum("bhqk,bhkd->bhqd",
-                          nn.softmax(scores, axis=-1).astype(self.dtype), v,
+        probs = nn.softmax(scores, axis=-1).astype(self.dtype)
+        # torch MHA applies dropout on the attention WEIGHTS during
+        # training (nn.TransformerEncoderLayer passes its dropout down) —
+        # a parity-relevant regularizer, not just an output dropout
+        probs = HwDropout(self.dropout)(probs, deterministic=deterministic)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                           preferred_element_type=jnp.float32)
         attn = attn.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, L, D)
         attn = nn.Dense(D, dtype=self.dtype, kernel_init=TORCH_LINEAR_INIT,
