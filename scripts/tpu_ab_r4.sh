@@ -21,8 +21,9 @@ run() {
 
 run "fast-hash dropout" env GENREC_TPU_FAST_HASH=1 \
     python bench.py --model tiger --steps 30 --repeats 3
-run "scoped-vmem 32M" env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=32768 \
-    python bench.py --model tiger --steps 30 --repeats 3
-run "scoped-vmem 64M" env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 \
-    python bench.py --model tiger --steps 30 --repeats 3
+# scoped-vmem fusion experiment: NOT runnable here — this axon client's
+# XLA rejects --xla_tpu_scoped_vmem_limit_kib (F-abort "Unknown flag"),
+# so the fusion-budget lever stays untested. Measured outcome of the
+# fast-hash arm: 19,845 ex/s vs 19,583 same-session baseline (+1.3%) —
+# kept opt-in (GENREC_TPU_FAST_HASH=1).
 echo "== tpu ab r4 done =="
