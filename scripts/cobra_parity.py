@@ -209,7 +209,15 @@ def run_tpu(corpus, sem_ids, tokens, seed: int, epochs: int) -> dict:
               weight_decay=RECIPE["weight_decay"],
               num_warmup_steps=RECIPE["num_warmup_steps"],
               n_beam=RECIPE["n_beam"], fusion_alpha=RECIPE["fusion_alpha"],
-              eval_batch_size=256, **CFG)
+              eval_batch_size=256,
+              # dedupe OFF for the head-to-head: with dropout active the
+              # dedupe shares ONE noisy encoding across duplicate batch
+              # items, so in-batch InfoNCE contains negatives IDENTICAL to
+              # the positive (the reference encodes each occurrence with
+              # fresh dropout noise, which breaks those ties). The
+              # gradient-identity test holds only at deterministic=True;
+              # production keeps dedupe for serving/eval throughput.
+              dedupe_texts=False, **CFG)
     return {"side": "genrec_tpu", "model": "cobra", "seed": seed,
             "epochs": epochs, "train_seconds": round(time.time() - t0, 1),
             **{k: float(v) for k, v in m.items()}}
