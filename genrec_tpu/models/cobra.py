@@ -365,8 +365,32 @@ class Cobra(nn.Module):
         def run(ids, vv, n_partial):
             h, pad = self._interleave(ids, vv, n_partial=n_partial)
             h = self._decode(h, pad, deterministic=True)
-            lens = jnp.logical_not(pad).sum(axis=1)
-            last = h[jnp.arange(h.shape[0]), lens - 1]
+            if n_partial > 0:
+                # the appended partial codes live at the literal END of the
+                # interleaved layout — AFTER any history pad block. The
+                # reference reads position (valid_count − 1) instead
+                # (cobra.py:620-623), which for rows shorter than the padded
+                # length lands on a mid-pad slot whose causal attention
+                # cannot see the beam's own prefix — measured as beam
+                # dense-vec cos 1.0000 (total beam collapse, flat
+                # R@1=R@5=R@10) under our always-padded static batches,
+                # 0.88 under the reference's per-batch-max collate (only
+                # its short rows are broken). Index the true position:
+                # strictly more correct than the reference; the interop
+                # test pins exact equality on full-length rows where both
+                # agree.
+                T_items = vv.shape[1]
+                idx = T_items * (self.n_codebooks + 1) + n_partial - 1
+                last = h[:, idx]
+            else:
+                # dense slot of the last VALID item (items are contiguous
+                # from the front): (n_valid − 1)·(C+1) + C
+                C = self.n_codebooks
+                first_codes = ids[:, ::C]
+                n_valid = jnp.sum((first_codes != self.pad_id).astype(
+                    jnp.int32), axis=1)
+                idx = jnp.maximum(n_valid, 1) * (C + 1) - 1
+                last = h[jnp.arange(h.shape[0]), idx]
             return last
 
         beam_seqs = None
