@@ -41,11 +41,18 @@ def main():
     sides = {s: [r for r in e5000 if r["side"] == s]
              for s in ("genrec_tpu", "reference")}
     if all(len(v) >= 3 for v in sides.values()):
-        old = load("rqvae_runs.jsonl")
-        append("rqvae_runs_e2000.jsonl", old)
+        # Idempotent: after the first promotion rqvae_runs.jsonl already
+        # holds the e5000 rows — only genuine 2000-epoch leftovers (and
+        # only ones not already archived) move to the archive.
+        old = [r for r in load("rqvae_runs.jsonl")
+               if r.get("epochs") != 5000]
+        archived = load("rqvae_runs_e2000.jsonl")
+        new_old = [r for r in old if r not in archived]
+        if new_old:
+            append("rqvae_runs_e2000.jsonl", new_old)
         write("rqvae_runs.jsonl", e5000)
         print(f"official table = FULL 5000-epoch recipe "
-              f"({len(e5000)} rows); {len(old)} 2000-epoch rows archived")
+              f"({len(e5000)} rows); {len(new_old)} 2000-epoch rows archived")
         return
 
     ab = load("rqvae_ab_r4.jsonl")
