@@ -154,19 +154,23 @@ class LCRecTaskGenerator:
         t = TEMPLATES[bank]
         return t[int(self.rng.integers(0, len(t)))]
 
-    def make_pair(self, task: str, sample: Sample) -> tuple[str, str]:
+    def make_pair(self, task: str, sample: Sample,
+                  subtype: str | None = None) -> tuple[str, str]:
+        """``subtype`` forces the title/desc/combined variant for the
+        item2index / index2item tasks (eval enumerates all three, reference
+        amazon_lcrec.py:393-429); ``None`` samples one (train behavior)."""
         target = sample.target
         if task == "seqrec":
             instr = self._pick("seqrec").format(
                 history=self._history_text(sample.history))
             resp = self._code_text(target)
         elif task == "item2index":
-            sub = self.rng.choice(["title", "desc", "combined"])
+            sub = subtype or self.rng.choice(["title", "desc", "combined"])
             instr = self._pick(f"item2index_{sub}").format(
                 title=self._title(target), description=self._desc(target))
             resp = self._code_text(target)
         elif task == "index2item":
-            sub = self.rng.choice(["title", "desc", "combined"])
+            sub = subtype or self.rng.choice(["title", "desc", "combined"])
             instr = self._pick(f"index2item_{sub}").format(
                 index=self._code_text(target))
             if sub == "title":
@@ -211,4 +215,31 @@ class LCRecTaskGenerator:
                         "target_sem_ids": self.sem_ids[s.target].tolist()})
             if max_samples and len(out) >= max_samples:
                 break
+        return out
+
+    def generate_item_eval(self, task: str, max_items: int = 0,
+                           subtypes: Sequence[str] = ("title", "desc",
+                                                      "combined")
+                           ) -> List[dict]:
+        """Per-item eval samples for the grounding tasks.
+
+        The reference enumerates the catalog once per subtype for
+        item2index / index2item (``amazon_lcrec.py:393-429``); its eval
+        loop then scores whichever tasks the loader carries
+        (``trainers/lcrec_trainer.py:192-239``). ``max_items`` caps the
+        catalog sweep (eval cost control); 0 = all items."""
+        if task not in ("item2index", "index2item"):
+            raise ValueError(f"not an item-enumeration task: {task!r}")
+        n = self.corpus.num_items or len(self.sem_ids)
+        if max_items:
+            n = min(n, max_items)
+        out = []
+        for item in range(n):
+            for sub in subtypes:
+                prompt, resp = self.make_pair(
+                    task, Sample(user_id=0, history=[], target=item),
+                    subtype=sub)
+                out.append({"task": task, "subtype": sub, "prompt": prompt,
+                            "response": resp, "target": item,
+                            "target_sem_ids": self.sem_ids[item].tolist()})
         return out

@@ -422,6 +422,49 @@ class LCRec:
 
         return generate_cached if use_cache else generate_uncached
 
+    # -- unconstrained text generation ------------------------------------
+    def make_generate_text(self, max_new_tokens: int = 50):
+        """jit-compiled greedy free-running decode (the reference's
+        index2item eval path: ``generate(..., max_new=50, do_sample=False,
+        constrained=False)``,
+        ``/root/reference/genrec/trainers/lcrec_trainer.py:215-223``).
+
+        Returns ``generate(params, input_ids, attention_mask) -> (B,
+        max_new_tokens) int32`` token ids; rows stop emitting after EOS
+        (padded with ``pad_token_id``). One prefill + a ``lax.scan`` of
+        single-token decode steps over the shared KV cache — the whole
+        decode is one compiled program (vs the reference's per-step HF
+        ``generate`` host loop)."""
+        model = self.model
+        eos = int(self.tokenizer.eos_token_id)
+        pad = int(self.tokenizer.pad_token_id)
+
+        @jax.jit
+        def generate(params, input_ids, attention_mask):
+            B, L = input_ids.shape
+            last, cache, cache_mask, next_pos = model.apply(
+                {"params": params}, input_ids, attention_mask,
+                L + max_new_tokens, method=CausalLM.prefill)
+
+            def body(carry, t):
+                last, cache, cache_mask, done = carry
+                tok = jnp.argmax(last, axis=-1).astype(jnp.int32)   # (B,)
+                tok = jnp.where(done, pad, tok)
+                done = done | (tok == eos)
+                last, cache, cache_mask = model.apply(
+                    {"params": params}, tok[:, None], next_pos + t,
+                    cache, cache_mask, L + t,
+                    method=CausalLM.decode_step)
+                return (last, cache, cache_mask, done), tok
+
+            _, toks = jax.lax.scan(
+                body,
+                (last, cache, cache_mask, jnp.zeros((B,), bool)),
+                jnp.arange(max_new_tokens))
+            return toks.T                                  # (B, max_new)
+
+        return generate
+
     # -- persistence -------------------------------------------------------
     def save_pretrained(self, save_dir: str, params) -> None:
         import orbax.checkpoint as ocp

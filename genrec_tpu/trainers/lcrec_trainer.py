@@ -93,6 +93,8 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
           pretrained_rqvae_path: str = "", sem_ids_table=None,
           max_seq_len: int = 20, num_beams: int = 10,
           use_item_trie: bool = False,
+          eval_tasks: tuple = ("seqrec",),
+          eval_max_items_per_task: int = 0,
           max_train_samples: int = 0, max_eval_samples: int = 0,
           do_eval: bool = True, eval_every_epoch: int = 1,
           eval_batch_size: int = 0, eval_only: bool = False,
@@ -180,6 +182,13 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
                                          max_samples=max_train_samples)
         if eval_samples is None:
             eval_samples = gen.generate("test", max_samples=max_eval_samples)
+            # grounding-task eval sets: per-item enumeration ×3 subtypes
+            # (reference amazon_lcrec.py:393-429; its eval loop scores any
+            # task present, trainers/lcrec_trainer.py:192-239)
+            for t in eval_tasks:
+                if t in ("item2index", "index2item"):
+                    eval_samples = eval_samples + gen.generate_item_eval(
+                        t, max_items=eval_max_items_per_task)
     logger.info("samples: train=%d eval=%d vocab=%d", len(train_samples),
                 len(eval_samples), len(model.tokenizer))
 
@@ -316,35 +325,98 @@ def train(epochs: int = 4, learning_rate: float = 1e-4,
         num_beams=num_beams,
         valid_item_ids=sem_ids[:corpus.num_items]
         if use_item_trie else None)
+    # grounding-task decoders, built lazily (each is its own compiled
+    # program; seqrec-only evals never pay for them)
+    generate_greedy = generate_text = None
+    if any(s.get("task") == "item2index" for s in eval_samples):
+        generate_greedy = model.make_generate_topk(num_beams=1)
+    if any(s.get("task") == "index2item" for s in eval_samples):
+        generate_text = model.make_generate_text(max_new_tokens=50)
     acc = TopKAccumulator(ks=EVAL_KS)
 
     from genrec_tpu.ops.metrics import sem_id_detail_sums
     catalog = jnp.asarray(sem_ids[:corpus.num_items], jnp.int32)
 
+    def _acc_detail(detail: dict, dsums: dict) -> None:
+        for k, v in dsums.items():
+            detail[k] = detail.get(k, 0.0) + float(np.asarray(v))
+
     def evaluate() -> dict:
-        # reference eval depth (lcrec_trainer.py:231-260): R@K/NDCG plus
-        # per-codebook top-1 accuracy, exact-match and invalid counts
+        # reference eval depth (lcrec_trainer.py:131-260): seqrec R@K/NDCG
+        # + per-codebook top-1 accuracy / exact-match / invalid counts;
+        # item2index greedy-constrained exact + per-codebook; index2item
+        # free-text substring match. Task sections mirror the reference's
+        # ``{task}_exact`` / ``{task}_c{i}`` / ``index2item_match`` keys.
+        by_task: dict = {}
+        for s in eval_samples:
+            by_task.setdefault(s.get("task", "seqrec"), []).append(s)
         acc.reset()
         detail: dict = {}
         ebs = eval_batch_size or batch_size
         ep = export_params()   # hoisted: PP layout export is per-eval, not
-        for batch in iter_batches(eval_samples, ebs, batch_fn_eval,  # per-batch
-                                  False, 0):
+        for batch in iter_batches(by_task.get("seqrec", []), ebs,  # per-batch
+                                  batch_fn_eval, False, 0):
             db = shard_batch(batch, mesh)
             out = generate(ep, db["input_ids"], db["attention_mask"])
             sums = topk_metric_sums(db["target_sem_ids"], out.sem_ids,
                                     EVAL_KS, valid=db["valid"])
             acc.update_sums({k: float(np.asarray(v))
                              for k, v in sums.items()})
-            dsums = sem_id_detail_sums(
+            _acc_detail(detail, sem_id_detail_sums(
                 db["target_sem_ids"], out.sem_ids[:, 0], valid=db["valid"],
-                catalog_codes=catalog, codebook_size=codebook_size)
-            for k, v in dsums.items():
-                detail[k] = detail.get(k, 0.0) + float(np.asarray(v))
+                catalog_codes=catalog, codebook_size=codebook_size))
         m = acc.reduce()
         n = max(detail.pop("count", 0.0), 1.0)
         for k, v in detail.items():
             m[k.replace("_sum", "")] = v / n
+
+        if by_task.get("item2index"):
+            # reference: greedy constrained decode, per-codebook + exact
+            # (lcrec_trainer.py:192-214). Its denominator drops rows whose
+            # output fails to parse; the compiled constrained decode emits
+            # per-level-legal tokens by construction, so every row counts
+            # (equivalent-or-stricter denominator).
+            d2: dict = {}
+            for batch in iter_batches(by_task["item2index"], ebs,
+                                      batch_fn_eval, False, 0):
+                db = shard_batch(batch, mesh)
+                out = generate_greedy(ep, db["input_ids"],
+                                      db["attention_mask"])
+                _acc_detail(d2, sem_id_detail_sums(
+                    db["target_sem_ids"], out.sem_ids[:, 0],
+                    valid=db["valid"]))
+            n2 = max(d2.pop("count", 0.0), 1.0)
+            m["item2index_exact"] = d2.pop("exact_match_sum", 0.0) / n2
+            for k, v in d2.items():
+                level = k.split("@")[-1]
+                m[f"item2index_c{level}"] = v / n2
+
+        if by_task.get("index2item"):
+            # reference: unconstrained greedy ≤50 tokens, lowercase
+            # substring match of the target text (lcrec_trainer.py:215-223)
+            # text matching is host-side: row r of batch b maps back to
+            # sample b·ebs + pidx + r·pcnt (Loader's strided multi-host
+            # slicing, shuffle off); each host scores its local shard
+            matched = total = 0
+            samples_i = by_task["index2item"]
+            for b, batch in enumerate(iter_batches(samples_i, ebs,
+                                                   batch_fn_eval, False, 0)):
+                db = shard_batch(batch, mesh)
+                toks = np.asarray(
+                    generate_text(ep, db["input_ids"],
+                                  db["attention_mask"]))
+                valid = np.asarray(batch["valid"])
+                for r in range(toks.shape[0]):
+                    gi = b * ebs + pidx + r * pcnt
+                    if not valid[r] or gi >= len(samples_i):
+                        continue
+                    tgt = samples_i[gi]["response"].strip().lower()
+                    gen_text = model.tokenizer.decode(
+                        toks[r]).strip().lower()
+                    total += 1
+                    if tgt and gen_text and tgt in gen_text:
+                        matched += 1
+            m["index2item_match"] = matched / max(total, 1)
         return m
 
     if eval_only:

@@ -266,3 +266,92 @@ def test_causallm_fused_softmax_matches_fallback():
     np.testing.assert_allclose(np.asarray(out_fused.logits)[real],
                                np.asarray(out_plain.logits)[real],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_generate_item_eval_samples():
+    """Per-item eval enumeration for the grounding tasks (reference
+    amazon_lcrec.py:393-429: catalog x {title, desc, combined})."""
+    from genrec_tpu.data.lcrec import LCRecTaskGenerator
+    from genrec_tpu.data.synthetic import synthetic_corpus
+    _, corpus = synthetic_corpus(n_items=100, n_users=30, n_clusters=8)
+    sem_ids = np.random.default_rng(0).integers(0, 8, (100, 3))
+    gen = LCRecTaskGenerator(corpus, sem_ids, max_seq_len=5)
+    i2x = gen.generate_item_eval("item2index", max_items=5)
+    assert len(i2x) == 15  # 5 items x 3 subtypes
+    assert all(s["task"] == "item2index" for s in i2x)
+    assert {s["subtype"] for s in i2x} == {"title", "desc", "combined"}
+    # the response is the item's code string; targets carry its codes
+    assert i2x[0]["response"] == "".join(
+        f"<C{c}_{int(v)}>" for c, v in enumerate(sem_ids[0]))
+    assert i2x[0]["target_sem_ids"] == sem_ids[0].tolist()
+    x2i = gen.generate_item_eval("index2item", max_items=2)
+    assert len(x2i) == 6
+    # index2item responses are text (title/desc), never code tokens
+    assert all("<C0_" not in s["response"] for s in x2i)
+    with pytest.raises(ValueError):
+        gen.generate_item_eval("seqrec")
+
+
+def test_make_generate_text_greedy(tiny_lcrec):
+    """Free-running greedy decode: step 0 equals the prefill argmax, and
+    every row goes silent (pad) after its first EOS."""
+    model, params = tiny_lcrec
+    gen = model.make_generate_text(max_new_tokens=8)
+    prompt = model.tokenizer.encode("describe <C0_1><C1_2><C2_3> please")
+    L = 12
+    ids = np.zeros((2, L), np.int32)
+    mask = np.zeros((2, L), np.int32)
+    ids[:, L - len(prompt):] = prompt
+    mask[:, L - len(prompt):] = 1
+    toks = np.asarray(gen(params, jnp.asarray(ids), jnp.asarray(mask)))
+    assert toks.shape == (2, 8)
+    # greedy step 0 == argmax of the prefill logits
+    last, *_ = model.model.apply({"params": params}, jnp.asarray(ids),
+                                 jnp.asarray(mask), L + 8,
+                                 method=CausalLM.prefill)
+    np.testing.assert_array_equal(toks[:, 0],
+                                  np.asarray(jnp.argmax(last, axis=-1)))
+    eos, pad = model.tokenizer.eos_token_id, model.tokenizer.pad_token_id
+    for r in range(2):
+        hits = np.where(toks[r] == eos)[0]
+        if hits.size:
+            assert (toks[r, hits[0] + 1:] == pad).all()
+
+
+def test_lcrec_trainer_eval_tasks_e2e(tmp_path):
+    """evaluate() scores all three reference task sections
+    (trainers/lcrec_trainer.py:131-239): seqrec beam R@K, item2index
+    greedy-constrained exact/per-codebook, index2item text match."""
+    from genrec_tpu.configlib import gin
+    from genrec_tpu.trainers.lcrec_trainer import train
+    rng = np.random.default_rng(0)
+    sem_ids = rng.integers(0, 16, (2000, 3))
+    gin.parse_config("""
+        train.epochs = 1
+        train.batch_size = 8
+        train.max_len = 96
+        train.d_model = 32
+        train.n_layers = 1
+        train.n_heads = 4
+        train.n_kv_heads = 2
+        train.ff_dim = 64
+        train.base_vocab = 1000
+        train.num_codebooks = 3
+        train.codebook_size = 16
+        train.dataset_type = "synthetic"
+        train.max_seq_len = 6
+        train.num_beams = 4
+        train.max_train_samples = 16
+        train.max_eval_samples = 8
+        train.eval_tasks = ("seqrec", "item2index", "index2item")
+        train.eval_max_items_per_task = 4
+        train.wandb_logging = False
+    """)
+    gin.bind_parameter("train.save_dir_root", str(tmp_path))
+    gin.bind_parameter("train.sem_ids_table", sem_ids)
+    m = train()
+    assert "Recall@10" in m
+    assert 0.0 <= m["item2index_exact"] <= 1.0
+    for c in range(3):
+        assert 0.0 <= m[f"item2index_c{c}"] <= 1.0
+    assert 0.0 <= m["index2item_match"] <= 1.0
