@@ -325,6 +325,47 @@ class CausalLM(nn.Module):
         next_position = jnp.sum(attention_mask, axis=1).astype(jnp.int32)
         return logits, cache, cache_mask, next_position
 
+    def extend(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
+               cache, cache_mask: jnp.ndarray, prompt_len: int):
+        """Multi-token forward over an existing prompt cache.
+
+        The shared-prompt reuse the reference implements as a custom HF
+        ``DynamicCache`` broadcast across the batch
+        (``/root/reference/genrec/models/notellm.py:20-41,144-156``): the
+        prompt prefix's KV is computed ONCE and every suffix row attends
+        over it plus its own causal suffix. ``cache`` holds per-layer
+        (B, KV, Lc, Dh) tensors with the first ``prompt_len`` slots
+        written (``cache_mask`` marks valid prompt slots); the suffix
+        ``input_ids`` (B, L) writes slots [prompt_len, prompt_len+L).
+
+        Returns (B, L, D) final-norm hidden states and the updated cache.
+        """
+        B, L = input_ids.shape
+        x = jnp.take(self.wte, input_ids, axis=0).astype(self.dtype)
+        positions = prompt_len + jnp.maximum(
+            jnp.cumsum(attention_mask, axis=1) - 1, 0)
+
+        Lc = cache_mask.shape[1]
+        # key layout: [0, prompt_len) prompt slots, [prompt_len,
+        # prompt_len+L) own suffix (causal), beyond = unwritten
+        k_idx = jnp.arange(Lc)[None, :]                      # (1, Lc)
+        q_idx = jnp.arange(L)[:, None]                       # (L, 1)
+        is_prompt = (k_idx < prompt_len)[None]               # (1, L?, Lc) b'cast
+        causal_suffix = (k_idx >= prompt_len) & \
+            (k_idx - prompt_len <= q_idx)                    # (L, Lc)
+        suffix_valid = jnp.pad(attention_mask.astype(bool),
+                               ((0, 0), (prompt_len, Lc - prompt_len - L)))
+        visible = (is_prompt & cache_mask[:, None, :].astype(bool)) | \
+            (causal_suffix[None] & suffix_valid[:, None, :])
+        bias = jnp.where(visible[:, None], 0.0, -1e9).astype(jnp.float32)
+
+        new_cache = []
+        for blk, kv in zip(self.blocks, cache):
+            x, kv = blk(x, positions, bias, cache_kv=kv,
+                        write_index=prompt_len)
+            new_cache.append(kv)
+        return self.final_norm(x), new_cache
+
     def decode_step(self, token_ids: jnp.ndarray, position: jnp.ndarray,
                     cache, cache_mask: jnp.ndarray, write_index: int):
         """One generation step: ``token_ids`` (B, 1) attends over the cache.

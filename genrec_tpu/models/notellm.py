@@ -58,14 +58,10 @@ class Query2Embedding(nn.Module):
                            name="lm")
         self.tau = self.param("tau", nn.initializers.constant(0.05), ())
 
-    def embed(self, input_ids: jnp.ndarray,
-              attention_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        """(B, D) L2-normalised [EMB]-position embeddings — the serving
-        entry point (no paired-batch loss machinery)."""
+    def _pool(self, hidden: jnp.ndarray, input_ids: jnp.ndarray,
+              attention_mask: jnp.ndarray) -> jnp.ndarray:
+        """[EMB]-position pooling + L2 norm (ref :113-129)."""
         B, L = input_ids.shape
-        if attention_mask is None:
-            attention_mask = (input_ids != 0).astype(jnp.int32)
-        hidden = self.lm.hidden_states(input_ids, attention_mask)
         is_emb = (input_ids == self.emb_token_id).astype(jnp.int32)
         # position of the last [EMB] occurrence (0 if none -> last real token)
         pos_idx = jnp.arange(L)[None, :]
@@ -75,14 +71,68 @@ class Query2Embedding(nn.Module):
         emb = hidden[jnp.arange(B), emb_pos]                   # (B, D)
         return l2norm(emb.astype(jnp.float32))
 
-    def __call__(self, input_ids: jnp.ndarray,
-                 attention_mask: Optional[jnp.ndarray] = None,
-                 category_labels: Optional[jnp.ndarray] = None
-                 ) -> NoteLLMOutput:
-        """Paired-batch forward: rows (2i, 2i+1) are positive pairs."""
+    def embed(self, input_ids: jnp.ndarray,
+              attention_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """(B, D) L2-normalised [EMB]-position embeddings — the serving
+        entry point (no paired-batch loss machinery)."""
         if attention_mask is None:
             attention_mask = (input_ids != 0).astype(jnp.int32)
-        emb = self.embed(input_ids, attention_mask)
+        hidden = self.lm.hidden_states(input_ids, attention_mask)
+        return self._pool(hidden, input_ids, attention_mask)
+
+    def embed_cached(self, prompt_ids: jnp.ndarray, input_ids: jnp.ndarray,
+                     attention_mask: Optional[jnp.ndarray] = None
+                     ) -> jnp.ndarray:
+        """Shared-prompt embedding: the instruction prefix ``prompt_ids``
+        (P,) — identical for every row — is prefilled ONCE (batch 1), its
+        KV broadcast across the batch, and only the per-note suffix
+        ``input_ids`` (B, L) runs through the transformer.
+
+        TPU re-design of the reference's custom HF ``DynamicCache``
+        (``/root/reference/genrec/models/notellm.py:20-41``, consumed at
+        :144-156 via ``batch_select_indices``): same semantics — prompt KV
+        is computed without gradient (the reference builds its cache
+        outside the training graph) — but as one compiled program, with
+        the broadcast expressed as an XLA broadcast instead of a device
+        dict. Saves the prompt's P·B forward FLOPs per step (computed
+        once, not B times)."""
+        B, L = input_ids.shape
+        P = prompt_ids.shape[0]
+        if attention_mask is None:
+            attention_mask = (input_ids != 0).astype(jnp.int32)
+        _, cache, cache_mask, _ = self.lm.prefill(
+            prompt_ids[None, :], jnp.ones((1, P), jnp.int32), P + L)
+
+        def bc(t):
+            return jnp.broadcast_to(t, (B,) + t.shape[1:])
+        cache = [(jax.lax.stop_gradient(bc(k)),
+                  jax.lax.stop_gradient(bc(v))) for k, v in cache]
+        hidden, _ = self.lm.extend(input_ids, attention_mask, cache,
+                                   bc(cache_mask), P)
+        return self._pool(hidden, input_ids, attention_mask)
+
+    def __call__(self, input_ids: jnp.ndarray,
+                 attention_mask: Optional[jnp.ndarray] = None,
+                 category_labels: Optional[jnp.ndarray] = None,
+                 shared_prompt_ids: Optional[jnp.ndarray] = None
+                 ) -> NoteLLMOutput:
+        """Paired-batch forward: rows (2i, 2i+1) are positive pairs.
+
+        ``shared_prompt_ids`` (P,): train with the shared-prompt KV cache
+        (``input_ids`` are then the per-note suffixes). The generation CE
+        term needs full-sequence logits and is not supported on the cached
+        path (the reference trains NoteLLM contrastive-only by default:
+        alpha enters at :199-203 only when labels exist)."""
+        if attention_mask is None:
+            attention_mask = (input_ids != 0).astype(jnp.int32)
+        if shared_prompt_ids is not None:
+            if category_labels is not None and self.alpha > 0:
+                raise ValueError("generation CE is not supported with "
+                                 "shared_prompt_ids (contrastive-only)")
+            emb = self.embed_cached(shared_prompt_ids, input_ids,
+                                    attention_mask)
+        else:
+            emb = self.embed(input_ids, attention_mask)
 
         # contrastive loss over (even, odd) pairs (ref :170-189)
         q = emb[0::2]                                          # (B/2, D)

@@ -47,9 +47,15 @@ def train(steps: int = 200, learning_rate: float = 3e-4,
           d_model: int = 128, n_layers: int = 2, n_heads: int = 4,
           n_kv_heads: int = 2, ff_dim: int = 256, alpha: float = 0.0,
           n_topics: int = 32, eval_pairs: int = 128, eval_every: int = 50,
+          shared_prompt_len: int = 0, share_prompt_kv: bool = False,
           save_dir_root: str = "out/notellm", wandb_logging: bool = False,
           wandb_project: str = "", seed: int = 42, fast_rng: bool = True,
           model_parallelism: int = 1, fsdp: bool = False, **unused) -> dict:
+    """``shared_prompt_len`` P > 0 prepends a fixed instruction prefix (the
+    reference's note-compression prompt template) to every row;
+    ``share_prompt_kv`` then trains via the shared-prompt KV cache
+    (reference ``DynamicCache`` re-design, models/notellm.py:20-41) instead
+    of re-running the prompt through the transformer B times per step."""
     logger = setup_logger("notellm", save_dir_root)
     from genrec_tpu.core.rng import configure_fast_rng
     configure_fast_rng(fast_rng)
@@ -58,12 +64,27 @@ def train(steps: int = 200, learning_rate: float = 3e-4,
     model = Query2Embedding(
         vocab_size=vocab_size, emb_token_id=emb_token_id, d_model=d_model,
         n_layers=n_layers, n_heads=n_heads, n_kv_heads=n_kv_heads,
-        ff_dim=ff_dim, max_len=seq_len, alpha=alpha)
+        ff_dim=ff_dim, max_len=seq_len + shared_prompt_len, alpha=alpha)
+
+    prompt = None
+    if shared_prompt_len > 0:
+        prng = np.random.default_rng(seed + 9)
+        prompt = jnp.asarray(prng.integers(
+            emb_token_id + 1, vocab_size,
+            size=(shared_prompt_len,)).astype(np.int32))
+
+    def with_prompt(batch):
+        """Baseline layout: prompt prepended to every row (full forward)."""
+        B = batch.shape[0]
+        return jnp.concatenate(
+            [jnp.broadcast_to(prompt[None], (B, prompt.shape[0])), batch],
+            axis=1)
 
     rng = jax.random.PRNGKey(seed)
-    sample = synthetic_pairs(batch_pairs, vocab_size, seq_len, emb_token_id,
-                             n_topics, seed)
-    params = model.init({"params": rng}, jnp.asarray(sample))["params"]
+    sample = jnp.asarray(synthetic_pairs(batch_pairs, vocab_size, seq_len,
+                                         emb_token_id, n_topics, seed))
+    init_input = with_prompt(sample) if prompt is not None else sample
+    params = model.init({"params": rng}, init_input)["params"]
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     logger.info("model params: %.2fM", n_params / 1e6)
 
@@ -75,7 +96,13 @@ def train(steps: int = 200, learning_rate: float = 3e-4,
                         grad_clip_norm=1.0)
 
     def loss_fn(params, batch, rng):
-        out = model.apply({"params": params}, batch)
+        if prompt is not None and share_prompt_kv:
+            out = model.apply({"params": params}, batch,
+                              shared_prompt_ids=prompt)
+        elif prompt is not None:
+            out = model.apply({"params": params}, with_prompt(batch))
+        else:
+            out = model.apply({"params": params}, batch)
         return out.loss, {"contrastive_loss": out.contrastive_loss}
 
     # fsdp: ZeRO-3 placement over the data axis (same path as the LCRec
@@ -87,6 +114,12 @@ def train(steps: int = 200, learning_rate: float = 3e-4,
 
     @jax.jit
     def embed(params, batch):
+        if prompt is not None and share_prompt_kv:
+            return model.apply({"params": params}, batch,
+                               shared_prompt_ids=prompt).embeddings
+        if prompt is not None:
+            return model.apply({"params": params},
+                               with_prompt(batch)).embeddings
         return model.apply({"params": params}, batch).embeddings
 
     eval_batch = synthetic_pairs(eval_pairs, vocab_size, seq_len,

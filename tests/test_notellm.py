@@ -170,3 +170,66 @@ def test_notellm_trainer_fsdp_e2e(tmp_path):
     gin.bind_parameter("train.save_dir_root", str(tmp_path))
     m = train()
     assert "acc@10" in m
+
+
+def test_embed_cached_matches_full_forward():
+    """Shared-prompt KV path == prompt-prepended full forward (the cache
+    changes the compute schedule, not the function; reference
+    notellm.py:20-41,144-156)."""
+    model, params, ids = _make()
+    P = 7
+    rng = np.random.default_rng(3)
+    prompt = jnp.asarray(rng.integers(6, 100, (P,)).astype(np.int32))
+    full = jnp.concatenate(
+        [jnp.broadcast_to(prompt[None], (ids.shape[0], P)), ids], axis=1)
+    e_full = model.apply({"params": params}, full,
+                         method=Query2Embedding.embed)
+    e_cached = model.apply({"params": params}, prompt, ids,
+                           method=Query2Embedding.embed_cached)
+    np.testing.assert_allclose(np.asarray(e_cached), np.asarray(e_full),
+                               atol=2e-5)
+
+
+def test_embed_cached_with_padding():
+    """Rows with trailing pads pool the right [EMB] position on the
+    cached path too."""
+    model, params, ids = _make()
+    ids2 = np.asarray(ids).copy()
+    ids2[0, 8:] = 0          # trailing pads
+    ids2[0, 7] = 5           # [EMB] just before the pads
+    ids2 = jnp.asarray(ids2)
+    P = 5
+    prompt = jnp.asarray(
+        np.random.default_rng(4).integers(6, 100, (P,)).astype(np.int32))
+    full = jnp.concatenate(
+        [jnp.broadcast_to(prompt[None], (ids2.shape[0], P)), ids2], axis=1)
+    e_full = model.apply({"params": params}, full,
+                         method=Query2Embedding.embed)
+    e_cached = model.apply({"params": params}, prompt, ids2,
+                           method=Query2Embedding.embed_cached)
+    np.testing.assert_allclose(np.asarray(e_cached), np.asarray(e_full),
+                               atol=2e-5)
+
+
+def test_notellm_trainer_shared_prompt_kv(tmp_path):
+    from genrec_tpu.configlib import gin
+    from genrec_tpu.trainers.notellm_trainer import train
+    gin.parse_config("""
+        train.steps = 20
+        train.batch_pairs = 8
+        train.vocab_size = 500
+        train.seq_len = 16
+        train.d_model = 32
+        train.n_layers = 1
+        train.n_heads = 4
+        train.n_kv_heads = 2
+        train.ff_dim = 64
+        train.eval_pairs = 16
+        train.eval_every = 20
+        train.shared_prompt_len = 8
+        train.share_prompt_kv = True
+        train.wandb_logging = False
+    """)
+    gin.bind_parameter("train.save_dir_root", str(tmp_path))
+    m = train()
+    assert "acc@10" in m and 0.0 <= m["acc@10"] <= 1.0
