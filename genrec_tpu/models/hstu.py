@@ -31,11 +31,20 @@ from genrec_tpu.configlib import gin
 NEG_INF = -1e9
 
 # Weight-init parity: the reference initializes EVERY nn.Linear and
-# nn.Embedding weight with trunc_normal(std=0.02), zero biases
+# nn.Embedding weight with trunc_normal_(std=0.02), zero biases
 # (/root/reference/genrec/models/hstu.py:85-97). Flax Dense's default
 # (lecun_normal, std 1/sqrt(fan_in) = 0.125 at d=64) is ~6x larger and was
 # a measurable quality handicap in the r3 head-to-head parity runs.
-_REF_INIT = nn.initializers.truncated_normal(stddev=0.02)
+#
+# r5 subtlety: torch's trunc_normal_ default bounds a=-2, b=2 are ABSOLUTE,
+# so at std=0.02 they sit at +-100 sigma — the draw is an untruncated
+# normal with std exactly 0.02 (measured 0.01998). jax/flax
+# truncated_normal(stddev=s) instead truncates at +-2 sigma, shrinking the
+# realised std to 0.8796*s (measured 0.01757) — a systematic -12% init
+# scale on every weight, the same bug class that cost TIGER/COBRA quality
+# in r4. normal(0.02) is the torch-exact distribution (truncation at
+# 100 sigma has ~1e-2000 mass).
+_REF_INIT = nn.initializers.normal(stddev=0.02)
 
 
 class HSTUOutput(NamedTuple):
@@ -97,16 +106,13 @@ class HSTULayer(nn.Module):
         # init parity (/root/reference/genrec/models/hstu.py:85-97): the
         # bias tables are nn.Embedding there, so trunc_normal(0.02) like
         # every other weight — near-zero initial attention bias.
-        pos_table = self.param("position_bias",
-                               nn.initializers.truncated_normal(stddev=0.02),
+        pos_table = self.param("position_bias", _REF_INIT,
                                (self.num_position_buckets, H))
 
         if self.attn_impl is not None:
             time_table = None
             if self.use_temporal_bias and timestamps is not None:
-                time_table = self.param("temporal_bias",
-                                        nn.initializers.truncated_normal(
-                                            stddev=0.02),
+                time_table = self.param("temporal_bias", _REF_INIT,
                                         (self.num_time_buckets, H))
             out = self.attn_impl(q, k, v, pos_table, time_table,
                                  timestamps, padding_mask,
@@ -131,9 +137,7 @@ class HSTULayer(nn.Module):
         scores = scores + pos_bias.transpose(2, 0, 1)[None].astype(jnp.float32)
 
         if self.use_temporal_bias and time_onehot is not None:
-            time_table = self.param("temporal_bias",
-                                    nn.initializers.truncated_normal(
-                                        stddev=0.02),
+            time_table = self.param("temporal_bias", _REF_INIT,
                                     (self.num_time_buckets, H))
             # one-hot matmul instead of gather: the gather's backward is a
             # 640k-element scatter-add into the 64-row table — measured
@@ -204,7 +208,7 @@ class HSTU(nn.Module):
         before the logits matmul — for sharded losses (vocab-parallel CE)
         that score against the row-sharded table themselves."""
         item_emb = self.param(
-            "item_embedding", nn.initializers.truncated_normal(stddev=0.02),
+            "item_embedding", _REF_INIT,
             (self.num_items + 1, self.embed_dim))
         item_emb = item_emb.at[0].set(0.0)
         padding_mask = input_ids == 0

@@ -82,3 +82,35 @@ def test_silu_attention_masks_padding(tiny_hstu):
     # timestamps of padded positions influence only their own (ignored) rows
     np.testing.assert_allclose(np.asarray(out1.logits[0, 2:]),
                                np.asarray(out2.logits[0, 2:]), atol=1e-4)
+
+
+def test_hstu_init_matches_torch_trunc_normal():
+    """Init parity (r5): every HSTU weight follows torch
+    trunc_normal_(std=0.02) (reference hstu.py:85-97) whose default +-2.0
+    bounds are ABSOLUTE (+-100 sigma at std 0.02) — i.e. an untruncated
+    normal with std exactly 0.02. flax truncated_normal(0.02) truncates at
+    +-2 sigma and under-delivers std by 12% (0.0176); this pins the fix."""
+    import jax
+    model = HSTU(num_items=5000, embed_dim=64, num_heads=2, num_blocks=2,
+                 use_temporal_bias=True)
+    ids = jnp.ones((2, 8), jnp.int32)
+    ts = jnp.ones((2, 8), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids,
+                        timestamps=ts)["params"]
+    checked = 0
+    for path, w in jax.tree_util.tree_leaves_with_path(params):
+        name = jax.tree_util.keystr(path)
+        if "bias" in name and "kernel" not in name and w.ndim == 1:
+            continue    # Dense biases: zeros (torch zeros_)
+        if w.size < 4096:
+            continue    # bias tables are too small to pin std tightly
+        std = float(jnp.std(w))
+        if "item_embedding" in name:
+            # pad row zeroed in-forward, not at init; init std still 0.02
+            assert 0.019 < std < 0.021, (name, std)
+        else:
+            assert 0.019 < std < 0.021, (name, std)
+        assert not (0.0165 < std < 0.0185), \
+            (name, std, "looks like the +-2sigma-truncated draw")
+        checked += 1
+    assert checked >= 6, checked
