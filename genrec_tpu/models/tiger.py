@@ -162,6 +162,46 @@ class Tiger(nn.Module):
             dec_in, memory, memory_key_padding_mask=memory_pad)
         return self.output_head(dec_out[:, -1, :]).astype(jnp.float32)
 
+    def precompute_cross_kv(self, memory):
+        """Per-decoder-layer cross (k, v) of the encoder memory — computed
+        once per generate call (see make_generate_fn)."""
+        return self.transformer.precompute_cross_kv(memory)
+
+    def decode_step_cached(self, cross_kv, memory_pad, prefix_ids,
+                           num_beams: int):
+        """Flattened-beam decode: the (B·K, t) prefixes of one batch row
+        run as K independent causal blocks of ONE sequence (length
+        K·(t+1) with BOS), cross-attending the batch row's cached memory
+        K/V — no ``jnp.repeat`` of the memory and no per-beam/per-level
+        re-projection of cross K/V (the r4 path recomputed that dominant
+        FLOP term K·C times; VERDICT r4 next #2). Relative-position
+        self-attention bias stays exact: within-block relative distances
+        are unchanged and cross-block pairs are masked."""
+        from genrec_tpu.nn.transformer import NEG_INF
+        BK, t = prefix_ids.shape
+        K = num_beams
+        B = BK // K
+        if t == 0:
+            dec_in = self._embed_targets(
+                jnp.zeros((BK, 0), jnp.int32), jnp.zeros((BK, 0), jnp.int32),
+                deterministic=True)
+        else:
+            types = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None],
+                                     (BK, t))
+            dec_in = self._embed_targets(prefix_ids, types,
+                                         deterministic=True)
+        L = t + 1                                   # BOS + prefix
+        x = dec_in.reshape(B, K * L, dec_in.shape[-1])
+        allow = jnp.kron(jnp.eye(K, dtype=jnp.int32),
+                         jnp.tril(jnp.ones((L, L), jnp.int32))) > 0
+        tgt_mask = jnp.where(allow, 0.0, NEG_INF).astype(jnp.float32)
+        dec_out = self.transformer.decode(
+            x, None, tgt_mask=tgt_mask, memory_key_padding_mask=memory_pad,
+            cross_kv=cross_kv)
+        last = dec_out[:, jnp.arange(K) * L + (L - 1), :]   # (B, K, D)
+        return self.output_head(last).astype(jnp.float32).reshape(
+            BK, self.vocab_size)
+
 
 class TigerGenerationOutput(NamedTuple):
     sem_ids: jnp.ndarray
@@ -182,21 +222,41 @@ def make_generate_fn(model: Tiger, trie: Optional[TrieTables],
     trie_children = jnp.asarray(trie.children) if trie is not None else None
     trie_legal = jnp.asarray(trie.legal) if trie is not None else None
 
+    # r5 fast path: cross K/V cached per generate call + flattened-beam
+    # decode (decode_step_cached) — no memory repeat, no K·C-fold cross-KV
+    # re-projection. GENREC_TPU_NO_CACHED_GENERATE=1 keeps the r4 layout
+    # as the A/B baseline/oracle (tests pin equal outputs).
+    import os
+    cached = os.environ.get("GENREC_TPU_NO_CACHED_GENERATE", "") in ("", "0")
+
     @jax.jit
     def generate(params, user_ids, sem_ids, token_type_ids, seq_mask, rng):
         B = sem_ids.shape[0]
         memory, pad = model.apply({"params": params}, user_ids, sem_ids,
                                   token_type_ids, seq_mask,
                                   method=Tiger.encode_context)
-        # expand memory to B*K beams
-        mem_k = jnp.repeat(memory, num_beams, axis=0)
-        pad_k = jnp.repeat(pad, num_beams, axis=0)
+        if cached:
+            cross_kv = model.apply({"params": params}, memory,
+                                   method=Tiger.precompute_cross_kv)
 
-        def decode_fn(prefix_ids, step):
-            logits = model.apply({"params": params}, mem_k, pad_k,
-                                 prefix_ids, method=Tiger.decode_step)
-            off = step * K_tok
-            return jax.lax.dynamic_slice_in_dim(logits, off, K_tok, axis=1)
+            def decode_fn(prefix_ids, step):
+                logits = model.apply({"params": params}, cross_kv, pad,
+                                     prefix_ids, num_beams,
+                                     method=Tiger.decode_step_cached)
+                off = step * K_tok
+                return jax.lax.dynamic_slice_in_dim(logits, off, K_tok,
+                                                    axis=1)
+        else:
+            # expand memory to B*K beams (r4 baseline layout)
+            mem_k = jnp.repeat(memory, num_beams, axis=0)
+            pad_k = jnp.repeat(pad, num_beams, axis=0)
+
+            def decode_fn(prefix_ids, step):
+                logits = model.apply({"params": params}, mem_k, pad_k,
+                                     prefix_ids, method=Tiger.decode_step)
+                off = step * K_tok
+                return jax.lax.dynamic_slice_in_dim(logits, off, K_tok,
+                                                    axis=1)
 
         return beam_search(
             decode_fn, B, num_beams, C, K_tok,

@@ -131,14 +131,28 @@ class T5Attention(nn.Module):
                  value: Optional[jnp.ndarray] = None,
                  attn_mask: Optional[jnp.ndarray] = None,
                  key_padding_mask: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 cached_kv: Optional[tuple] = None,
+                 kv_only: bool = False):
+        """``kv_only=True`` (cross path): project and return ``(k, v)`` of
+        ``key``/``value`` without attending — the generation fast path
+        computes each layer's cross K/V from the encoder memory ONCE and
+        replays it for every beam and decode level via ``cached_kv``
+        (see Tiger.make_generate_fn). Both flags are apply-time only; the
+        param tree is created by the training ``__call__``."""
         assert self.d_model % self.n_heads == 0, (
             f"d_model={self.d_model} not divisible by n_heads={self.n_heads}")
         head_dim = self.d_model // self.n_heads
         dense = lambda feats, nm: nn.Dense(feats, use_bias=False,
                                            kernel_init=TORCH_LINEAR_INIT,
                                            dtype=self.dtype, name=nm)
-        if self.is_cross_attention:
+        if kv_only:
+            assert self.is_cross_attention
+            return dense(self.d_model, "k")(key), \
+                dense(self.d_model, "v")(value)
+        if cached_kv is not None:
+            k, v = cached_kv
+        elif self.is_cross_attention:
             k = dense(self.d_model, "k")(key)
             v = dense(self.d_model, "v")(value)
         else:
@@ -286,7 +300,17 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, context=None, attn_mask=None,
                  key_padding_mask=None, memory_key_padding_mask=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, cross_cached_kv=None,
+                 cross_kv_only: bool = False):
+        if cross_kv_only:
+            # generation fast path: project this layer's cross K/V from the
+            # raw memory (cross k/v read ``context`` only — norm_cross
+            # applies to x, so K/V are reusable across beams/levels)
+            return T5Attention(
+                self.dim, self.num_heads, self.dropout,
+                is_cross_attention=True, has_relative_bias=False,
+                dtype=self.dtype, name="cross_attn_layer")(
+                    x, key=context, value=context, kv_only=True)
         from genrec_tpu.kernels.encoder_layer import (
             fused_encoder_layer, fused_encoder_layer_supported)
         if (not self.cross_attn and attn_mask is None
@@ -323,7 +347,8 @@ class TransformerBlock(nn.Module):
                 deterministic=deterministic)
         x = x + drop(attn_out, deterministic=deterministic)
 
-        if self.cross_attn and context is not None:
+        if self.cross_attn and (context is not None
+                                or cross_cached_kv is not None):
             cross_out = T5Attention(
                 self.dim, self.num_heads, self.dropout,
                 is_cross_attention=True, has_relative_bias=False,
@@ -331,7 +356,8 @@ class TransformerBlock(nn.Module):
                     RMSNorm(self.dim, name="norm_cross")(x),
                     key=context, value=context,
                     key_padding_mask=memory_key_padding_mask,
-                    deterministic=deterministic)
+                    deterministic=deterministic,
+                    cached_kv=cross_cached_kv)
             x = x + drop(cross_out, deterministic=deterministic)
 
         from genrec_tpu.kernels.ffn_block import (fused_ffn_block,
@@ -390,8 +416,20 @@ class TransformerDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tgt, *, memory, attn_mask=None, key_padding_mask=None,
-                 memory_key_padding_mask=None, deterministic: bool = True):
+    def __call__(self, tgt, *, memory=None, attn_mask=None,
+                 key_padding_mask=None, memory_key_padding_mask=None,
+                 deterministic: bool = True, cross_kv=None,
+                 cross_kv_only: bool = False):
+        """``cross_kv_only=True``: return the per-layer cross (k, v) list
+        projected from ``memory`` (generation fast path); ``cross_kv``:
+        replay such a list instead of projecting per call."""
+        if cross_kv_only:
+            return [TransformerBlock(
+                self.dim, self.num_heads, self.dropout,
+                ff_hidden_dim=self.ff_hidden_dim, cross_attn=True,
+                dtype=self.dtype, name=f"layer_{i}")(
+                    tgt, context=memory, cross_kv_only=True)
+                for i in range(self.depth)]
         for i in range(self.depth):
             tgt = TransformerBlock(
                 self.dim, self.num_heads, self.dropout,
@@ -400,7 +438,9 @@ class TransformerDecoder(nn.Module):
                     tgt, context=memory, attn_mask=attn_mask,
                     key_padding_mask=key_padding_mask,
                     memory_key_padding_mask=memory_key_padding_mask,
-                    deterministic=deterministic)
+                    deterministic=deterministic,
+                    cross_cached_kv=None if cross_kv is None
+                    else cross_kv[i])
         return tgt
 
 
@@ -428,13 +468,22 @@ class TransformerEncoderDecoder(nn.Module):
                             deterministic=deterministic)
 
     def decode(self, tgt, memory, *, tgt_mask=None, tgt_key_padding_mask=None,
-               memory_key_padding_mask=None, deterministic: bool = True):
+               memory_key_padding_mask=None, deterministic: bool = True,
+               cross_kv=None):
         if tgt_mask is None:
             tgt_mask = causal_mask(tgt.shape[1])
         return self.decoder(tgt, memory=memory, attn_mask=tgt_mask,
                             key_padding_mask=tgt_key_padding_mask,
                             memory_key_padding_mask=memory_key_padding_mask,
-                            deterministic=deterministic)
+                            deterministic=deterministic, cross_kv=cross_kv)
+
+    def precompute_cross_kv(self, memory):
+        """Per-decoder-layer cross (k, v) projections of ``memory`` —
+        compute once per generate call, replay via ``decode(cross_kv=...)``
+        (each level/beam re-projected them before: a K·C-fold duplication
+        of the dominant generation FLOP term)."""
+        dummy = memory[:, :1, :]
+        return self.decoder(dummy, memory=memory, cross_kv_only=True)
 
     def __call__(self, src, tgt, *, src_key_padding_mask=None,
                  tgt_key_padding_mask=None, memory_key_padding_mask=None,

@@ -148,3 +148,26 @@ def test_dense_init_matches_torch_linear_default(tiny_tiger):
         std = float(w.std())
         assert 0.7 * bound / np.sqrt(3) < std < 1.3 * bound / np.sqrt(3), \
             (name, std, bound)
+
+
+def test_cached_generate_matches_baseline(tiny_tiger, monkeypatch):
+    """The r5 flattened-beam/cached-cross-KV generate path must produce
+    the same beams and scores as the r4 repeat-memory layout (same math,
+    different schedule)."""
+    model, params, batch = tiny_tiger
+    rng = np.random.default_rng(1)
+    valid = np.unique(rng.integers(0, 16, size=(40, 3)), axis=0)
+    trie = build_trie(valid, num_item_embeddings=16)
+    args = (params, batch["user_ids"], batch["sem_ids"],
+            batch["token_type_ids"], batch["seq_mask"],
+            jax.random.PRNGKey(0))
+    outs = {}
+    for mode, env in (("cached", "0"), ("baseline", "1")):
+        monkeypatch.setenv("GENREC_TPU_NO_CACHED_GENERATE", env)
+        gen = make_generate_fn(model, trie, num_beams=5, temperature=0.2)
+        outs[mode] = gen(*args)
+    np.testing.assert_array_equal(np.asarray(outs["cached"].sem_ids),
+                                  np.asarray(outs["baseline"].sem_ids))
+    np.testing.assert_allclose(np.asarray(outs["cached"].log_probas),
+                               np.asarray(outs["baseline"].log_probas),
+                               atol=1e-4)
