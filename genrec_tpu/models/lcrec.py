@@ -359,36 +359,45 @@ class LCRec:
 
         @jax.jit
         def generate_cached(params, input_ids, attention_mask):
+            # r5 split-cache layout: the prompt KV stays at batch B (never
+            # expanded to B·K, never re-homed); only the ≤C decoded
+            # tokens' K/V are beam-managed, in level-major (B, KV, C·K,
+            # Dh) slots. The r4 layout repeated the full prompt cache per
+            # beam and copied it per level (~6 GB of pure HBM copies per
+            # serving batch at the bench shape); beams now ride the query
+            # axis instead (CausalLM.decode_step_beams).
             B, L = input_ids.shape
-            Lc = L + C
-
-            # prefill the B prompts once (beams share the prompt)
-            last, cache, cache_mask, next_pos = model.apply(
-                {"params": params}, input_ids, attention_mask, Lc,
+            last, pcache, pmask, next_pos = model.apply(
+                {"params": params}, input_ids, attention_mask, L,
                 method=CausalLM.prefill)
 
-            def expand(x):
-                return jnp.repeat(x, K, axis=0)            # (B,…) -> (B*K,…)
-            cache = [(expand(k), expand(v)) for k, v in cache]
-            cache_mask = expand(cache_mask)
-            next_pos = expand(next_pos)                    # (B*K,)
-            last = expand(last)                            # (B*K, V)
+            KV = model.n_kv_heads
+            Dh = model.d_model // model.n_heads
+            zeros = jnp.zeros((B, KV, C * K, Dh), model.dtype)
+            dec_cache = [(zeros, zeros) for _ in range(model.n_layers)]
 
             beam_tokens = jnp.zeros((B, K, C), jnp.int32)
             beam_logps = jnp.zeros((B, K), jnp.float32)
             nodes = jnp.full((B, K), ROOT, jnp.int32)
+            last_bk = jnp.repeat(last, K, axis=0)          # (B*K, V)
 
+            sl = jnp.arange(C * K)
             for c in range(C):
                 beam_tokens, beam_logps, nodes, parent, tok = _select_level(
-                    c, last, beam_logps, nodes, beam_tokens, B)
-                # re-home each beam onto its parent's cache, then decode the
-                # chosen token (which also writes its k/v at slot L+c)
-                sel = (jnp.arange(B)[:, None] * K + parent).reshape(-1)
-                cache = [(k[sel], v[sel]) for k, v in cache]
-                tok_full = (tok.reshape(-1) + ranges[c][0]).reshape(-1, 1)
-                last, cache, cache_mask = model.apply(
-                    {"params": params}, tok_full, next_pos + c, cache,
-                    cache_mask, L + c, method=CausalLM.decode_step)
+                    c, last_bk, beam_logps, nodes, beam_tokens, B)
+                if c > 0:
+                    # re-home only the decoded-token slots: slot c'·K+j
+                    # takes its parent's c'·K+parent[b, j]
+                    idx = (sl // K) * K + parent[:, sl % K]    # (B, C*K)
+                    gat = lambda t: jnp.take_along_axis(
+                        t, idx[:, None, :, None], axis=2)
+                    dec_cache = [(gat(k), gat(v)) for k, v in dec_cache]
+                tok_full = tok + ranges[c][0]                  # (B, K)
+                logits, dec_cache = model.apply(
+                    {"params": params}, tok_full,
+                    next_pos[:, None] + c, pcache, pmask, dec_cache,
+                    c, K, method=CausalLM.decode_step_beams)
+                last_bk = logits.reshape(B * K, -1)
             return LCRecGenerationOutput(sem_ids=beam_tokens,
                                          log_probas=beam_logps)
 

@@ -114,8 +114,15 @@ class LlmBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, attn_bias, cache_kv=None,
-                 write_index: int = 0, fused_mask=None):
+                 write_index: int = 0, fused_mask=None, extra_kv=None):
         """Returns ``(x_out, new_cache_kv)``.
+
+        ``extra_kv=(pk, pv)``: read-only (B, KV, Lp, Dh) key/value prefix
+        (a shared prompt cache) PREPENDED to the cached keys at attention
+        time — it is never written or re-homed, so beam search keeps the
+        prompt KV at batch B while only the tiny decoded-token cache is
+        beam-managed (see CausalLM.decode_step_beams). ``attn_bias`` must
+        then cover key length Lp + Lc.
 
         Without a cache this is the plain causal block (``new_cache_kv`` is
         None). With ``cache_kv=(k_cache, v_cache)`` of shape
@@ -149,6 +156,10 @@ class LlmBlock(nn.Module):
             v = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype),
                                              (0, 0, write_index, 0))
             new_cache = (k, v)
+        if extra_kv is not None:
+            pk, pv = extra_kv
+            k = jnp.concatenate([pk.astype(k.dtype), k], axis=2)
+            v = jnp.concatenate([pv.astype(v.dtype), v], axis=2)
         if KV != H:
             rep = H // KV
             k = jnp.repeat(k, rep, axis=1)
@@ -388,6 +399,48 @@ class CausalLM(nn.Module):
         last = self.final_norm(x)
         logits = self._lm_logits(last)[:, 0, :]
         return logits, new_cache, cache_mask
+
+    def decode_step_beams(self, token_ids: jnp.ndarray,
+                          position: jnp.ndarray, prompt_cache,
+                          prompt_mask: jnp.ndarray, dec_cache,
+                          level: int, num_beams: int):
+        """One beam-search level with a SHARED prompt cache (batch B).
+
+        The K beams of a batch row decode as K query positions of one
+        sequence: ``token_ids``/``position`` are (B, K). ``prompt_cache``
+        is the per-layer (B, KV, Lp, Dh) prefill output — read-only, never
+        expanded to B·K. ``dec_cache`` holds only the decoded tokens'
+        K/V in level-major slots (B, KV, C·K, Dh): level c writes the
+        contiguous slice [c·K, (c+1)·K), so beam re-homing is a gather
+        over C·K slots (~1 MB) instead of the full B·K-row cache copy the
+        r4 path paid per level (~190 MB/layer at the serving bench shape).
+
+        Beam j attends the prompt plus slots {c'·K + j : c' ≤ level}.
+        Returns ``(logits (B, K, V), new_dec_cache)``.
+        """
+        B, K = token_ids.shape
+        CK = dec_cache[0][0].shape[2]
+        Lp = prompt_mask.shape[1]
+        x = jnp.take(self.wte, token_ids, axis=0).astype(self.dtype)
+
+        pbias = jnp.where(prompt_mask[:, None, None, :] == 0, -1e9, 0.0)
+        pbias = jnp.broadcast_to(pbias, (B, 1, K, Lp)).astype(jnp.float32)
+        j = jnp.arange(K)
+        slot_level = jnp.arange(CK) // K
+        slot_beam = jnp.arange(CK) % K
+        allow = (slot_beam[None, :] == j[:, None]) & \
+            (slot_level[None, :] <= level)                  # (K, CK)
+        dbias = jnp.where(allow, 0.0, -1e9)[None, None].astype(jnp.float32)
+        bias = jnp.concatenate(
+            [pbias, jnp.broadcast_to(dbias, (B, 1, K, CK))], axis=3)
+
+        new_dec = []
+        for blk, pkv, kv in zip(self.blocks, prompt_cache, dec_cache):
+            x, kv = blk(x, position, bias, cache_kv=kv,
+                        write_index=level * K, extra_kv=pkv)
+            new_dec.append(kv)
+        last = self.final_norm(x)
+        return self._lm_logits(last), new_dec
 
     def __call__(self, input_ids: jnp.ndarray,
                  attention_mask: Optional[jnp.ndarray] = None,
