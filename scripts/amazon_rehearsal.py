@@ -128,6 +128,9 @@ def main():
         idseq_over = ["train.num_epochs = 1", "train.eval_every_epoch = 1",
                       f"train.save_dir_root = '{out}/{{m}}'"]
         lcrec_over = ["train.epochs = 1",
+                      # the stage-1 artifact above is 3-level (the amazon
+                      # rqvae config); override the 5-level default
+                      "train.num_codebooks = 3",
                       "train.max_train_samples = 2000",
                       "train.max_eval_samples = 200",
                       "train.use_lora = False",
