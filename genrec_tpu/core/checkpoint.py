@@ -42,6 +42,12 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any,
              config: Optional[Dict] = None) -> None:
+        if step in (self._mgr.all_steps() or []):
+            # orbax silently SKIPS a save whose step already exists; two
+            # runs pointed at the same save_dir would then keep the first
+            # run's weights while logging the second run's metrics (bit us
+            # in the r5 HSTU eval probe). Overwrite explicitly.
+            self._mgr.delete(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         if config is not None and jax.process_index() == 0:
             with open(os.path.join(self.directory, "config.json"), "w") as f:

@@ -312,3 +312,17 @@ def test_fused_epoch_steps_boundaries_and_exhaustion():
     sizes2 = [n for n, _ in fused_epoch_steps(eng2, loader, 4,
                                               max_steps=5)]
     assert sizes2 == [4, 1], sizes2
+
+
+def test_checkpoint_same_step_overwrites(tmp_path):
+    """Re-saving an existing step must overwrite, not silently keep the
+    first save (orbax default skips; bit the r5 HSTU eval probe)."""
+    import numpy as np
+    from genrec_tpu.core.checkpoint import CheckpointManager
+    ckpt = CheckpointManager(str(tmp_path / "c"))
+    a = {"w": np.ones((4,), np.float32)}
+    b = {"w": np.full((4,), 7.0, np.float32)}
+    ckpt.save(10, a)
+    ckpt.save(10, b)
+    got = ckpt.restore({"w": np.zeros((4,), np.float32)})
+    np.testing.assert_array_equal(got["w"], b["w"])
