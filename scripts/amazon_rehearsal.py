@@ -79,7 +79,11 @@ def run(module: str, cfg: str, overrides: list[str]) -> float:
     for o in overrides:
         cmd += ["--gin", o]
     print(f"\n=== {module} ===\n$ {' '.join(cmd)}", flush=True)
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # APPEND to PYTHONPATH: replacing it drops the axon sitecustomize dir
+    # while JAX_PLATFORMS=axon stays set -> child backend init fails
+    old_pp = os.environ.get("PYTHONPATH", "")
+    env = dict(os.environ,
+               PYTHONPATH=f"{REPO}:{old_pp}" if old_pp else REPO)
     t0 = time.time()
     r = subprocess.run(cmd, cwd=REPO, env=env)
     if r.returncode != 0:
