@@ -71,7 +71,21 @@ class CobraDecoderBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pad_mask, causal, deterministic: bool = True):
+    def __call__(self, x, pad_mask, causal, deterministic: bool = True,
+                 return_kv: bool = False, cache_kv=None,
+                 write_index: int = 0, extra_kv=None, attn_bias=None):
+        """Generation fast path (r5, apply-time only — the param tree is
+        created by the standard call):
+
+        - ``return_kv=True``: also return this layer's raw (B, L, D)
+          k/v splits (prefill collects them once per batch row).
+        - ``cache_kv=(k_dec, v_dec)`` + ``extra_kv=(k_hist, v_hist)`` +
+          ``attn_bias``: incremental beam decode — x is (B, K, D) beam
+          queries, their k/v are written at ``write_index`` into the
+          decoded-slot cache, and attention runs over
+          [history keys ‖ decoded slots] under ``attn_bias``
+          (B, 1, K, Lh+slots). Returns (out, new_cache_kv).
+        """
         # init parity with torch nn.TransformerDecoderLayer (the reference
         # CobraDecoder, cobra.py:150-224): MHA in_proj xavier_uniform +
         # zero bias; out_proj/linear1/linear2 at torch Linear defaults
@@ -83,6 +97,47 @@ class CobraDecoderBlock(nn.Module):
         qkv = nn.Dense(3 * D, dtype=self.dtype,
                        kernel_init=XAVIER_UNIFORM_INIT, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        new_cache = None
+        if cache_kv is not None:
+            k_cache, v_cache = cache_kv
+            k_dec = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, write_index, 0))
+            v_dec = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, write_index, 0))
+            new_cache = (k_dec, v_dec)
+            kh, vh = extra_kv
+            k_full = jnp.concatenate([kh.astype(k.dtype), k_dec], axis=1)
+            v_full = jnp.concatenate([vh.astype(v.dtype), v_dec], axis=1)
+            split = lambda t: t.reshape(B, t.shape[1], H, Dh).transpose(
+                0, 2, 1, 3)
+            qh, kh2, vh2 = split(q), split(k_full), split(v_full)
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh, kh2,
+                preferred_element_type=jnp.float32) * (Dh ** -0.5)
+            scores = scores + attn_bias
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            attn = jnp.einsum("bhqk,bhkd->bhqd", probs, vh2,
+                              preferred_element_type=jnp.float32)
+            attn = attn.astype(self.dtype).transpose(
+                0, 2, 1, 3).reshape(B, L, D)
+            attn = nn.Dense(D, dtype=self.dtype,
+                            kernel_init=TORCH_LINEAR_INIT,
+                            name="attn_out")(attn)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                             name="norm1")(x + attn).astype(self.dtype)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                             name="norm_cross")(x).astype(self.dtype)
+            h = nn.Dense(self.ff_dim, dtype=self.dtype,
+                         kernel_init=TORCH_LINEAR_INIT,
+                         bias_init=torch_linear_bias_init(D), name="ff1")(x)
+            h = nn.relu(h)
+            h = nn.Dense(D, dtype=self.dtype, kernel_init=TORCH_LINEAR_INIT,
+                         bias_init=torch_linear_bias_init(self.ff_dim),
+                         name="ff2")(h)
+            out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                               name="norm2")(x + h).astype(self.dtype)
+            return out, new_cache
+        k_raw, v_raw = k, v                       # (B, L, D) pre-head-split
         from genrec_tpu.kernels.attention import (fused_softmax,
                                                   fused_softmax_supported)
         # hardware A/B (out/tpu_measurements.jsonl 2026-08-19), B=64 2x2
@@ -146,9 +201,12 @@ class CobraDecoderBlock(nn.Module):
         h = nn.Dense(D, dtype=self.dtype, kernel_init=TORCH_LINEAR_INIT,
                      bias_init=torch_linear_bias_init(self.ff_dim),
                      name="ff2")(h)
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
+        out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
             x + HwDropout(self.dropout)(h, deterministic=deterministic)
         ).astype(self.dtype)
+        if return_kv:
+            return out, (k_raw, v_raw)
+        return out
 
 
 @gin.configurable
@@ -253,6 +311,50 @@ class Cobra(nn.Module):
         for blk in self.decoder_blocks:
             h = blk(h, pad, cm, deterministic)
         return h
+
+    def _decode_prefill(self, h, pad):
+        """History forward that also collects per-layer raw k/v (B, Lh, D)
+        for the cached generation path."""
+        L = h.shape[1]
+        cm = jnp.triu(jnp.ones((L, L), bool), k=1)
+        cache = []
+        for blk in self.decoder_blocks:
+            h, kv = blk(h, pad, cm, True, return_kv=True)
+            cache.append(kv)
+        return h, cache
+
+    def _decode_step_beams(self, tok_emb, hist_cache, hist_pad, dec_cache,
+                           level: int, num_beams: int):
+        """One beam level over [history cache ‖ decoded slots].
+
+        ``tok_emb``: (B, K, D) embedded beam tokens (position/type embeds
+        already added). Decoded-token k/v live level-major in
+        (B, (C−1)·K, D) slots: level c writes [c·K, (c+1)·K). Beam j
+        attends non-pad history plus its own slots ≤ level.
+        Returns (B, K, D) hidden + the updated dec cache.
+        """
+        B, K, D = tok_emb.shape
+        S = dec_cache[0][0].shape[1]
+        hbias = jnp.where(hist_pad[:, None, None, :], -1e9, 0.0)
+        hbias = jnp.broadcast_to(
+            hbias, (B, 1, K, hist_pad.shape[1])).astype(jnp.float32)
+        j = jnp.arange(K)
+        slot_level = jnp.arange(S) // K
+        slot_beam = jnp.arange(S) % K
+        allow = (slot_beam[None, :] == j[:, None]) & \
+            (slot_level[None, :] <= level)                    # (K, S)
+        dbias = jnp.where(allow, 0.0, -1e9)[None, None].astype(jnp.float32)
+        bias = jnp.concatenate(
+            [hbias, jnp.broadcast_to(dbias, (B, 1, K, S))], axis=3)
+        x = tok_emb
+        new_cache = []
+        for blk, hkv, dkv in zip(self.decoder_blocks, hist_cache,
+                                 dec_cache):
+            x, dkv = blk(x, None, None, True, cache_kv=dkv,
+                         write_index=level * K, extra_kv=hkv,
+                         attn_bias=bias)
+            new_cache.append(dkv)
+        return x, new_cache
 
     def encode_text(self, encoder_input_ids, deterministic: bool = True):
         return self.encoder(encoder_input_ids, deterministic=deterministic)
@@ -432,6 +534,94 @@ class Cobra(nn.Module):
             sem_ids=beam_seqs, dense_vecs=l2norm(h_last.astype(jnp.float32)),
             scores=beam_scores)
 
+    def generate_cached(self, input_ids, encoder_input_ids,
+                        n_candidates: int = 10, temperature: float = 1.0,
+                        text_idx=None) -> CobraGenerationOutput:
+        """KV-cached cascade generation — same outputs as :meth:`generate`
+        (the oracle test pins exact sem_ids / allclose scores), but the
+        interleaved history runs through the decoder ONCE per batch
+        (prefill collects per-layer k/v at batch B) and each level decodes
+        only the K beam tokens as beam-blocked queries over
+        [history ‖ own decoded slots] — the full-context re-forward per
+        level per beam (the dominant eval/serving FLOP term, ~C·K× the
+        prefill) is gone."""
+        C, V, K = self.n_codebooks, self.id_vocab_size, n_candidates
+        B, L = input_ids.shape
+        T = L // C
+        D = self.d_model
+        vecs = self.encode_text(encoder_input_ids, deterministic=True)
+        if text_idx is not None:
+            vecs = jnp.take(vecs, text_idx, axis=0)
+
+        h0, pad = self._interleave(input_ids, vecs)
+        h_hist, hist_cache = self._decode_prefill(h0, pad)
+
+        # level-0 read: dense slot of the last VALID item
+        first_codes = input_ids[:, ::C]
+        n_valid = jnp.sum((first_codes != self.pad_id).astype(jnp.int32),
+                          axis=1)
+        idx0 = jnp.maximum(n_valid, 1) * (C + 1) - 1
+        last = h_hist[jnp.arange(B), idx0]                      # (B, D)
+
+        n_slots = max(C - 1, 1) * K
+        zeros = jnp.zeros((B, n_slots, D), self.dtype)
+        dec_cache = [(zeros, zeros) for _ in self.decoder_blocks]
+
+        def embed_partial(tok, c):
+            """(B, K) level-c code ids → (B, K, D) decoder inputs."""
+            emb = self.id_embed(tok + c * V).astype(self.dtype)
+            pos = jnp.full((1, 1), T * (C + 1) + c, jnp.int32)
+            return emb + self.pos_embed(pos) + self.type_embed(
+                jnp.zeros((1, 1), jnp.int32))
+
+        beam_seqs = None
+        beam_scores = None
+        h_last = None
+        for c in range(C):
+            if c == 0:
+                logits = self.sparse_heads[0](last).astype(
+                    jnp.float32) / temperature
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                beam_scores, tok = jax.lax.top_k(logp, K)       # (B, K)
+                beam_seqs = tok[..., None]                      # (B, K, 1)
+                if C == 1:
+                    h_last = jnp.broadcast_to(last[:, None, :], (B, K, D))
+                    break
+                # decode the level-0 tokens into slot 0 (beams share the
+                # history; no re-home needed — dec cache is empty)
+                x, dec_cache = self._decode_step_beams(
+                    embed_partial(tok, 0), hist_cache, pad, dec_cache,
+                    0, K)
+            else:
+                logits = self.sparse_heads[c](x).astype(
+                    jnp.float32) / temperature                  # (B, K, V)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                combined = (beam_scores[..., None] + logp).reshape(B, K * V)
+                beam_scores, idx = jax.lax.top_k(combined, K)
+                parent = idx // V
+                token = idx % V
+                beam_seqs = jnp.take_along_axis(
+                    beam_seqs, parent[..., None], axis=1)
+                beam_seqs = jnp.concatenate(
+                    [beam_seqs, token[..., None]], axis=2)
+                if c == C - 1:
+                    h_last = jnp.take_along_axis(
+                        x, parent[..., None], axis=1)
+                    break
+                # re-home decoded slots onto the parents, then decode the
+                # chosen level-c tokens into slot c
+                sl = jnp.arange(n_slots)
+                gidx = (sl // K) * K + parent[:, sl % K]        # (B, S)
+                gat = lambda t: jnp.take_along_axis(
+                    t, gidx[..., None], axis=1)
+                dec_cache = [(gat(kd), gat(vd)) for kd, vd in dec_cache]
+                x, dec_cache = self._decode_step_beams(
+                    embed_partial(token, c), hist_cache, pad, dec_cache,
+                    c, K)
+        return CobraGenerationOutput(
+            sem_ids=beam_seqs, dense_vecs=l2norm(h_last.astype(jnp.float32)),
+            scores=beam_scores)
+
     def generate_itemvec(self, encoder_input_ids):
         return l2norm(self.encode_text(encoder_input_ids,
                                        deterministic=True))
@@ -453,10 +643,20 @@ def beam_fusion(model: Cobra, params, input_ids, encoder_input_ids,
     op-by-op — each (prefix-length) decoder re-run, the (B·K, N) similarity
     matmul and the fusion top-k now fuse into one XLA program per batch
     shape (model/int knobs are static; varying text-dedupe row buckets just
-    add a handful of compile-cache entries)."""
+    add a handful of compile-cache entries).
+
+    r5: the cascade runs KV-cached by default (history prefill once at
+    batch B, per-level beam-token decode — ``Cobra.generate_cached``);
+    ``GENREC_TPU_NO_COBRA_CACHED_GENERATE=1`` keeps the full-re-forward
+    layout as the A/B oracle (test pins identical outputs)."""
+    import os
+    cached = os.environ.get("GENREC_TPU_NO_COBRA_CACHED_GENERATE",
+                            "") in ("", "0")
     gen = model.apply({"params": params}, input_ids, encoder_input_ids,
                       n_candidates=n_beam, temperature=temperature,
-                      text_idx=text_idx, method=Cobra.generate)
+                      text_idx=text_idx,
+                      method=Cobra.generate_cached if cached
+                      else Cobra.generate)
     items = l2norm(jnp.asarray(item_dense_vecs, jnp.float32))
     sim = jnp.einsum("bkd,nd->bkn", gen.dense_vecs, items)
     max_sim = jnp.max(sim, axis=-1)

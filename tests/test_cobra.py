@@ -272,3 +272,42 @@ def test_cobra_init_matches_torch_defaults():
     assert np.abs(w).max() <= bound + 1e-6
     b = np.asarray(params["head_0"]["bias"])
     assert 0 < np.abs(b).max() <= bound + 1e-6          # torch bias uniform
+
+
+def test_generate_cached_matches_full(tiny_cobra):
+    """KV-cached cascade == full re-forward cascade (same math, different
+    schedule): exact sem_ids, allclose scores/dense vecs. Covers padded
+    rows (row 1 carries a padded item)."""
+    model, params, ids, toks = tiny_cobra
+    full = model.apply({"params": params}, ids, toks, n_candidates=4,
+                       method=Cobra.generate)
+    cached = model.apply({"params": params}, ids, toks, n_candidates=4,
+                         method=Cobra.generate_cached)
+    np.testing.assert_array_equal(np.asarray(cached.sem_ids),
+                                  np.asarray(full.sem_ids))
+    np.testing.assert_allclose(np.asarray(cached.scores),
+                               np.asarray(full.scores), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cached.dense_vecs),
+                               np.asarray(full.dense_vecs), atol=1e-4)
+
+
+def test_generate_cached_single_codebook():
+    """C=1 edge: no decode steps, h_last broadcast from the prefill."""
+    model = Cobra(encoder_n_layers=1, encoder_hidden_dim=32,
+                  encoder_num_heads=4, encoder_vocab_size=50,
+                  id_vocab_size=8, n_codebooks=1, d_model=32,
+                  decoder_n_layers=1, decoder_num_heads=4,
+                  decoder_dropout=0.0)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, 8, (2, 4)).astype(np.int32))
+    toks = jnp.asarray(rng.integers(1, 50, (2, 4, 5)).astype(np.int32))
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids,
+                        toks)["params"]
+    full = model.apply({"params": params}, ids, toks, n_candidates=3,
+                       method=Cobra.generate)
+    cached = model.apply({"params": params}, ids, toks, n_candidates=3,
+                         method=Cobra.generate_cached)
+    np.testing.assert_array_equal(np.asarray(cached.sem_ids),
+                                  np.asarray(full.sem_ids))
+    np.testing.assert_allclose(np.asarray(cached.dense_vecs),
+                               np.asarray(full.dense_vecs), atol=1e-4)
