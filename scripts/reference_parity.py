@@ -252,6 +252,11 @@ def run_tpu_idseq(model_name: str, seed: int, epochs: int = 10,
               **extra)
     m = {k: float(v) for k, v in m.items()}
     side = "genrec_tpu_fp32" if fp32 else "genrec_tpu"
+    # diagnostic A/Bs (e.g. the r5 plain-dropout run) tag their rows so
+    # the official side stays clean
+    tag = os.environ.get("GENREC_TPU_PARITY_SIDE_TAG", "")
+    if tag:
+        side = f"{side}_{tag}"
     return {"side": side, "model": model_name, "seed": seed,
             "epochs": epochs, "train_seconds": round(time.time() - t0, 1),
             **m}
