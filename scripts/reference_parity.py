@@ -234,6 +234,16 @@ def run_tpu_idseq(model_name: str, seed: int, epochs: int = 10,
     reference side always runs torch-CPU fp32). Records land with side
     ``genrec_tpu_fp32`` so the official bf16 rows stay untouched."""
     bind_tpu_corpus()
+    # diagnostic gin binds, e.g. GENREC_TPU_PARITY_BIND="HSTU.fused_ce=False"
+    # (r5 fused-CE A/B); ';'-separated key=value pairs, values are Python
+    # literals
+    binds = os.environ.get("GENREC_TPU_PARITY_BIND", "")
+    if binds:
+        import ast
+        from genrec_tpu.configlib import gin as _gin
+        for pair in binds.split(";"):
+            k, v = pair.split("=", 1)
+            _gin.bind_parameter(k.strip(), ast.literal_eval(v.strip()))
     if model_name == "sasrec":
         from genrec_tpu.trainers.sasrec_trainer import train
         extra = {}
