@@ -65,6 +65,22 @@ def write_fixture(root: str, n_items: int, n_users: int) -> float:
                 f.write(json.dumps({
                     "asin": f"A{item:05d}", "reviewerID": f"U{u}",
                     "unixReviewTime": t0u + i * 1000, "overall": 5.0}) + "\n")
+        # coverage users: cluster draws alone leave ~1/3 of the catalog
+        # unreviewed (ingest keeps only reviewed items); cycle every item
+        # through 8-item synthetic users so the ingested catalog is the
+        # full n_items
+        perm = rng.permutation(n_items)
+        for cu, start in enumerate(range(0, n_items, 8)):
+            chunk = perm[start:start + 8]
+            if len(chunk) < 5:          # ingest drops sequences < 5
+                chunk = perm[-5:]
+            t0u = 1_400_000_000 + cu
+            for i, item in enumerate(chunk):
+                f.write(json.dumps({
+                    "asin": f"A{int(item):05d}",
+                    "reviewerID": f"COV{cu}",
+                    "unixReviewTime": t0u + i * 1000,
+                    "overall": 5.0}) + "\n")
     with gzip.open(os.path.join(raw, "meta_Beauty.json.gz"), "wt") as f:
         for i in range(n_items):
             f.write(json.dumps({
