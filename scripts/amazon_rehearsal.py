@@ -145,7 +145,7 @@ def main():
                       "train.eval_valid_every_epoch = 1",
                       "train.eval_test_every_epoch = 1",
                       f"train.save_dir_root = '{out}/tiger'"]
-        idseq_over = ["train.num_epochs = 1", "train.eval_every_epoch = 1",
+        idseq_over = ["train.epochs = 1", "train.eval_every_epoch = 1",
                       f"train.save_dir_root = '{out}/{{m}}'"]
         lcrec_over = ["train.epochs = 1",
                       # the stage-1 artifact above is 3-level (the amazon
@@ -172,8 +172,8 @@ def main():
                       "train.eval_valid_every_epoch = 2",
                       "train.eval_test_every_epoch = 2",
                       f"train.save_dir_root = '{out}/tiger'"]
-        idseq_over = ["train.num_epochs = 2", "train.batch_size = 16",
-                      "train.hidden_units = 16", "train.num_blocks = 1",
+        idseq_over = ["train.epochs = 2", "train.batch_size = 16",
+                      "train.embed_dim = 16", "train.num_blocks = 1",
                       "train.num_heads = 1", "train.eval_every_epoch = 2",
                       f"train.save_dir_root = '{out}/{{m}}'"]
         lcrec_over = ["train.num_codebooks = 3", "train.codebook_size = 8",
