@@ -46,3 +46,34 @@ def configure_fast_rng(enable: bool = True) -> None:
             jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     except Exception:
         pass
+
+
+def seed_from_rng(key, shape=()):
+    """Cheap high-quality int32 seed(s) from a PRNG key, without a
+    ``random_bits`` kernel.
+
+    The key handed out by ``make_rng``/``fold_in`` is already a
+    threefry-mixed 64-bit value; XOR-folding its words gives uniform
+    31-bit seeds for the counter-hash dropout/softmax kernels at zero
+    compute (r5: the per-site ``jax.random.randint`` draws cost TIGER
+    ~4% step time once threefry key derivation came back). For a
+    non-scalar ``shape``, distinct seeds derive from the single key by
+    counter-murmur of the lane index (same mixer as the mask kernels).
+    """
+    import jax.numpy as jnp
+    from jax import random
+    kd = random.key_data(key).astype(jnp.uint32).reshape(-1)
+    base = kd[-1] ^ kd[-2] if kd.shape[0] >= 2 else kd[-1]
+    n = 1
+    for d in shape:
+        n *= d
+    if shape == ():
+        return jnp.asarray(base & jnp.uint32(0x7FFFFFFF), jnp.int32)
+    lanes = jnp.arange(n, dtype=jnp.uint32)
+    h = base[None] ^ (lanes * jnp.uint32(0x9E3779B9))
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return (h & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32).reshape(shape)

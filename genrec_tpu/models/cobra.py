@@ -159,8 +159,8 @@ class CobraDecoderBlock(nn.Module):
             kpad = jnp.where(pad_mask, -1e9, 0.0).astype(jnp.float32)
             seed = 0
             if attn_rate > 0.0:
-                seed = jax.random.randint(self.make_rng("dropout"), (),
-                                          0, 2 ** 31 - 1)
+                from genrec_tpu.core.rng import seed_from_rng
+                seed = seed_from_rng(self.make_rng("dropout"))
             p = fused_softmax(s_raw, bias, kpad, seed, Dh ** -0.5,
                               rate=attn_rate)
             attn = jnp.einsum("bhqk,bkhd->bqhd", p.astype(self.dtype),

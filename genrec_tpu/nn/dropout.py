@@ -56,8 +56,8 @@ class Dropout(nn.Module):
         if backend == "plain":
             return nn.Dropout(self.rate, name="inner")(x,
                                                        deterministic=False)
-        seed = jax.random.randint(self.make_rng("dropout"), (), 0,
-                                  2 ** 31 - 1)
+        from genrec_tpu.core.rng import seed_from_rng
+        seed = seed_from_rng(self.make_rng("dropout"))
         if backend == "pallas":
             return _fused_dropout(x, jnp.asarray(seed, jnp.int32), self.rate)
         return hash_dropout(x, seed, self.rate)

@@ -185,8 +185,8 @@ class T5Attention(nn.Module):
                 rate = 0.0 if deterministic else self.dropout
                 seed = 0
                 if rate > 0.0:
-                    seed = jax.random.randint(
-                        self.make_rng("dropout"), (), 0, 2 ** 31 - 1)
+                    from genrec_tpu.core.rng import seed_from_rng
+                    seed = seed_from_rng(self.make_rng("dropout"))
                 out = fused_attention(q, k, v, bias, kpad,
                                       n_heads=self.n_heads, seed=seed,
                                       dropout_rate=rate)
@@ -332,8 +332,8 @@ class TransformerBlock(nn.Module):
             rate = 0.0 if deterministic else self.dropout
             seeds = jnp.zeros((4,), jnp.int32)
             if rate > 0.0:
-                seeds = jax.random.randint(self.make_rng("dropout"), (4,),
-                                           0, 2 ** 31 - 1)
+                from genrec_tpu.core.rng import seed_from_rng
+                seeds = seed_from_rng(self.make_rng("dropout"), (4,))
             return fused_encoder_layer(
                 x, wq=wq, wkv=wkv, wo=wo, g1=g1, g2=g2, wi=wi, wo2=wo2,
                 bias=bias, kpad=kpad, n_heads=self.num_heads, seeds=seeds,
@@ -370,8 +370,8 @@ class TransformerBlock(nn.Module):
             rate = 0.0 if deterministic else self.dropout
             seeds = jnp.zeros((2,), jnp.int32)
             if rate > 0.0:
-                seeds = jax.random.randint(self.make_rng("dropout"), (2,),
-                                           0, 2 ** 31 - 1)
+                from genrec_tpu.core.rng import seed_from_rng
+                seeds = seed_from_rng(self.make_rng("dropout"), (2,))
             return fused_ffn_block(x, g=g2, wi=wi, wo=wo2, seeds=seeds,
                                    dropout_rate=rate)
         ff_out = FeedForward(self.dim, self.ff_hidden_dim, self.dropout,
